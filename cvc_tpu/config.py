@@ -1,0 +1,280 @@
+"""Experiment configuration.
+
+The reference keeps every hyperparameter in a monolithic argparse module
+(reference: `opts.py` — ~O(100) flags; SURVEY.md L5).  We keep typed
+dataclasses as the source of truth and expose a CLI that mirrors the
+reference's public flag names (`--batch_size`, `--beam_size`,
+`--seq_length`, `--start_from`, `--language_eval`, `--enable_cycle`,
+`--dataset`, `--mGPUs`, ...) so reference users can switch without
+relearning the surface.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Optional
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass
+class ModelConfig:
+    """Architecture of the cyclical grounded-captioning model.
+
+    Mirrors the reference's Up-Down attention-LSTM decoder hyperparameters
+    (reference: `opts.py` flags rnn_size / input_encoding_size /
+    att_hid_size; `misc/model.py` AttModel).
+    """
+
+    vocab_size: int = 8704            # padded to a multiple of 128 for the MXU
+    input_encoding_size: int = 512    # word embedding dim (reference: --input_encoding_size)
+    rnn_size: int = 1024              # LSTM hidden dim (reference: --rnn_size)
+    att_hid_size: int = 512           # additive-attention hidden dim (reference: --att_hid_size)
+    feat_dim: int = 2048              # Faster R-CNN fc6 region feature dim
+    global_feat_dim: int = 0          # extra segment-level feature (ANet: ~3072); 0 = mean-pool regions
+    num_regions: int = 128            # padded region slots (reference: 100 proposals, padded)
+    num_frames: int = 1               # >1 for ActivityNet video segments (reference: 10)
+    seq_length: int = 20              # caption length budget (reference: --seq_length)
+    num_classes: int = 512            # detector class vocabulary (region class embedding table)
+    class_emb_dim: int = 128
+    drop_prob_lm: float = 0.5         # dropout on LSTM outputs (reference: --drop_prob_lm)
+    obj_interact: bool = False        # region self-attention encoder (reference: --obj_interact)
+    obj_interact_layers: int = 1
+    obj_interact_heads: int = 4
+    cycle_weight: float = 1.0         # lambda on the reconstruction XE (paper sets ~1)
+    use_box_geometry: bool = True     # append normalized box geometry to region features
+    # Pallas kernel switches (jnp oracle always available; see cvc_tpu/ops/pallas/)
+    use_pallas: bool = False
+    dtype: str = "float32"            # compute dtype: "float32" | "bfloat16"
+
+    # Derived/static shapes.
+    @property
+    def total_regions(self) -> int:
+        """Total attention slots = frames * regions (ANet: 10*100 -> padded)."""
+        return self.num_frames * self.num_regions
+
+    @property
+    def max_tokens(self) -> int:
+        """Token buffer length: BOS + seq_length + EOS."""
+        return self.seq_length + 2
+
+
+@dataclass
+class DataConfig:
+    """Input pipeline configuration (reference: `misc/dataloader_flickr30k.py`,
+    `misc/dataloader_anet.py` — HDF5 region features + caption/entity JSON)."""
+
+    dataset: str = "flickr30k"        # "flickr30k" | "anet" | "synthetic"
+    feature_file: str = ""            # HDF5 with per-image region features
+    annotation_file: str = ""         # captions + entity boxes JSON
+    vocab_file: str = ""              # word<->id dict JSON
+    batch_size: int = 64              # reference: --batch_size
+    shuffle: bool = True
+    seed: int = 0
+    prefetch: int = 2
+    num_workers: int = 2              # host-side reader threads
+    # Synthetic-fixture knobs (tests / benches without real data).
+    synthetic_num_images: int = 256
+    synthetic_vocab_size: int = 1000
+
+
+@dataclass
+class TrainConfig:
+    learning_rate: float = 5e-4       # reference: --learning_rate
+    optimizer: str = "adam"
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+    weight_decay: float = 0.0
+    grad_clip: float = 0.1            # reference: --grad_clip (clip by global norm here)
+    learning_rate_decay_start: int = 1      # epoch (reference flag name)
+    learning_rate_decay_every: int = 3      # epochs
+    learning_rate_decay_rate: float = 0.8
+    max_epochs: int = 30              # reference: --max_epochs
+    enable_cycle: bool = True         # cyclical decode->localize->reconstruct on/off
+    checkpoint_path: str = "save"     # reference: --checkpoint_path
+    start_from: Optional[str] = None  # reference: --start_from (resume dir)
+    save_checkpoint_every: int = 1    # epochs
+    val_every_epoch: int = 1
+    language_eval: bool = True        # reference: --language_eval
+    grounding_eval: bool = True
+    beam_size: int = 1                # decode config used during validation
+    losses_log_every: int = 25        # steps
+    seed: int = 123
+    # SPMD / parallelism (replaces reference --mGPUs DataParallel).
+    num_devices: int = 0              # 0 = all visible devices
+    model_axis: int = 1               # >1 shards the vocab head over a 'model' mesh axis
+    donate_state: bool = True
+
+
+@dataclass
+class EvalConfig:
+    beam_size: int = 5                # reference: --beam_size
+    max_length: int = 20
+    length_penalty: float = 0.0       # alpha; 0 = pure logprob (reference behavior)
+    temperature: float = 1.0
+    sample_method: str = "beam"       # "beam" | "greedy" | "sample"
+    split: str = "test"
+    out_dir: str = "eval_out"
+    language_eval: bool = True
+    grounding_eval: bool = True
+    gt_sentence_mode: bool = False    # teacher-forced localization accuracy mode
+
+
+@dataclass
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+    id: str = "cvc"                   # experiment id (reference: --id)
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "Config":
+        raw = json.loads(s)
+        return Config(
+            model=ModelConfig(**raw.get("model", {})),
+            data=DataConfig(**raw.get("data", {})),
+            train=TrainConfig(**raw.get("train", {})),
+            eval=EvalConfig(**raw.get("eval", {})),
+            id=raw.get("id", "cvc"),
+        )
+
+
+# ---------------------------------------------------------------------------
+# Reference-style CLI (reference: opts.parse_opt()).
+# ---------------------------------------------------------------------------
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="TPU-native cyclical grounded visual captioning",
+        fromfile_prefix_chars="@",
+    )
+    # Data (reference flag names preserved where they existed).
+    p.add_argument("--dataset", type=str, default="flickr30k",
+                   choices=["flickr30k", "anet", "synthetic"])
+    p.add_argument("--feature_file", type=str, default="")
+    p.add_argument("--annotation_file", type=str, default="")
+    p.add_argument("--vocab_file", type=str, default="")
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--seq_length", type=int, default=20)
+    p.add_argument("--num_props", type=int, default=100,
+                   help="region proposals per image/frame (padded to a static shape)")
+    p.add_argument("--num_frames", type=int, default=1)
+    # Model.
+    p.add_argument("--rnn_size", type=int, default=1024)
+    p.add_argument("--input_encoding_size", type=int, default=512)
+    p.add_argument("--att_hid_size", type=int, default=512)
+    p.add_argument("--drop_prob_lm", type=float, default=0.5)
+    p.add_argument("--obj_interact", type=int, default=0)
+    p.add_argument("--enable_cycle", type=int, default=1,
+                   help="cyclical decode->localize->reconstruct training (the method)")
+    p.add_argument("--cycle_weight", type=float, default=1.0)
+    p.add_argument("--use_pallas", type=int, default=0)
+    p.add_argument("--dtype", type=str, default="float32",
+                   choices=["float32", "bfloat16"])
+    # Optimization.
+    p.add_argument("--learning_rate", type=float, default=5e-4)
+    p.add_argument("--learning_rate_decay_start", type=int, default=1)
+    p.add_argument("--learning_rate_decay_every", type=int, default=3)
+    p.add_argument("--learning_rate_decay_rate", type=float, default=0.8)
+    p.add_argument("--grad_clip", type=float, default=0.1)
+    p.add_argument("--max_epochs", type=int, default=30)
+    p.add_argument("--seed", type=int, default=123)
+    # Checkpointing / eval cadence.
+    p.add_argument("--checkpoint_path", type=str, default="save")
+    p.add_argument("--start_from", type=str, default=None)
+    p.add_argument("--save_checkpoint_every", type=int, default=1)
+    p.add_argument("--val_every_epoch", type=int, default=1)
+    p.add_argument("--language_eval", type=int, default=1)
+    p.add_argument("--grounding_eval", type=int, default=1)
+    p.add_argument("--losses_log_every", type=int, default=25)
+    # Inference.
+    p.add_argument("--beam_size", type=int, default=5)
+    p.add_argument("--sample_method", type=str, default="beam",
+                   choices=["beam", "greedy", "sample"])
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--split", type=str, default="test")
+    p.add_argument("--out_dir", type=str, default="eval_out")
+    p.add_argument("--gt_sentence_mode", type=int, default=0)
+    # Parallelism: reference exposed --mGPUs (torch DataParallel). We map the
+    # same idea to an SPMD device mesh.
+    p.add_argument("--mGPUs", "--num_devices", dest="num_devices", type=int, default=0,
+                   help="devices for data-parallel SPMD; 0 = all visible")
+    p.add_argument("--model_axis", type=int, default=1,
+                   help="mesh width for tensor-parallel vocab head (1 = off)")
+    p.add_argument("--id", type=str, default="cvc")
+    p.add_argument("--config_json", type=str, default=None,
+                   help="load a full Config JSON (CLI flags override)")
+    return p
+
+
+def config_from_args(argv=None) -> Config:
+    args = build_parser().parse_args(argv)
+    if args.config_json:
+        with open(args.config_json) as f:
+            cfg = Config.from_json(f.read())
+    else:
+        cfg = Config()
+
+    m, d, t, e = cfg.model, cfg.data, cfg.train, cfg.eval
+    d.dataset = args.dataset
+    d.feature_file = args.feature_file
+    d.annotation_file = args.annotation_file
+    d.vocab_file = args.vocab_file
+    d.batch_size = args.batch_size
+    d.seed = args.seed
+
+    m.seq_length = args.seq_length
+    m.num_regions = _round_up(args.num_props, 8)
+    m.num_frames = args.num_frames
+    m.rnn_size = args.rnn_size
+    m.input_encoding_size = args.input_encoding_size
+    m.att_hid_size = args.att_hid_size
+    m.drop_prob_lm = args.drop_prob_lm
+    m.obj_interact = bool(args.obj_interact)
+    m.cycle_weight = args.cycle_weight
+    m.use_pallas = bool(args.use_pallas)
+    m.dtype = args.dtype
+    if args.dataset == "anet" and args.num_frames == 1:
+        m.num_frames = 10
+        m.global_feat_dim = 3072
+
+    t.learning_rate = args.learning_rate
+    t.learning_rate_decay_start = args.learning_rate_decay_start
+    t.learning_rate_decay_every = args.learning_rate_decay_every
+    t.learning_rate_decay_rate = args.learning_rate_decay_rate
+    t.grad_clip = args.grad_clip
+    t.max_epochs = args.max_epochs
+    t.enable_cycle = bool(args.enable_cycle)
+    t.checkpoint_path = args.checkpoint_path
+    t.start_from = args.start_from
+    t.save_checkpoint_every = args.save_checkpoint_every
+    t.val_every_epoch = args.val_every_epoch
+    t.language_eval = bool(args.language_eval)
+    t.grounding_eval = bool(args.grounding_eval)
+    t.losses_log_every = args.losses_log_every
+    t.seed = args.seed
+    t.num_devices = args.num_devices
+    t.model_axis = args.model_axis
+
+    e.beam_size = args.beam_size
+    e.sample_method = args.sample_method
+    e.temperature = args.temperature
+    e.split = args.split
+    e.out_dir = args.out_dir
+    e.max_length = args.seq_length
+    e.language_eval = bool(args.language_eval)
+    e.grounding_eval = bool(args.grounding_eval)
+    e.gt_sentence_mode = bool(args.gt_sentence_mode)
+
+    cfg.id = args.id
+    return cfg

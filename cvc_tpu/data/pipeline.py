@@ -1,0 +1,172 @@
+"""Static-shape input pipeline.
+
+The reference feeds the model through a multi-worker torch DataLoader with a
+custom collate that pads regions/captions per batch (SURVEY.md L2).  On TPU,
+*every* batch must have the same shape or XLA recompiles, so this pipeline
+pads to configuration-fixed shapes once and for all:
+
+    feats       [B, S, Dfeat]   S = num_frames * num_regions attention slots
+    box_geom    [B, S, 5]       x1,y1,x2,y2,area (normalized)
+    region_cls  [B, S]          detector class id (int32)
+    region_mask [B, S]          1.0 for real proposals
+    tokens      [B, T]          BOS + words + EOS + PAD,  T = seq_length + 2
+    token_mask  [B, T]          1.0 on supervised positions (words + EOS)
+    global_feat [B, Dg]         optional segment feature (ANet)
+    example_idx [B], caption_idx [B], valid [B]
+
+A small background-thread prefetcher overlaps host batch assembly with
+device compute (the reference relied on DataLoader worker processes for the
+same purpose).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from dataclasses import dataclass
+from typing import Iterator, Optional
+
+import numpy as np
+
+from cvc_tpu.data.datasets import CaptionDataset
+
+
+@dataclass
+class Batch:
+    feats: np.ndarray
+    box_geom: np.ndarray
+    region_cls: np.ndarray
+    region_mask: np.ndarray
+    tokens: np.ndarray
+    token_mask: np.ndarray
+    global_feat: Optional[np.ndarray]
+    example_idx: np.ndarray
+    caption_idx: np.ndarray
+    valid: np.ndarray
+
+    def model_inputs(self) -> dict:
+        """The device-bound arrays (everything the jitted step consumes)."""
+        d = dict(feats=self.feats, box_geom=self.box_geom,
+                 region_cls=self.region_cls, region_mask=self.region_mask,
+                 tokens=self.tokens, token_mask=self.token_mask)
+        if self.global_feat is not None:
+            d["global_feat"] = self.global_feat
+        return d
+
+
+def box_geometry(boxes: np.ndarray) -> np.ndarray:
+    """[..., 4] x1y1x2y2 -> [..., 5] with area appended (the reference feeds
+    normalized box coordinates alongside features into the region encoder)."""
+    w = np.clip(boxes[..., 2] - boxes[..., 0], 0, None)
+    h = np.clip(boxes[..., 3] - boxes[..., 1], 0, None)
+    return np.concatenate([boxes, (w * h)[..., None]], axis=-1)
+
+
+def pad_regions(feats: np.ndarray, boxes: np.ndarray, classes: np.ndarray,
+                num_frames: int, num_regions: int, feat_dim: int):
+    """Pad/truncate one example's proposals to the static [S, ...] shapes.
+
+    Accepts [N, D] (image) or [F, N, D] (video) features; returns flattened
+    [S, D], [S, 5], [S], [S] with S = num_frames * num_regions.
+    """
+    if feats.ndim == 2:
+        feats, boxes, classes = feats[None], boxes[None], classes[None]
+    F = min(feats.shape[0], num_frames)
+    S = num_frames * num_regions
+    out_f = np.zeros((num_frames, num_regions, feat_dim), dtype=np.float32)
+    out_b = np.zeros((num_frames, num_regions, 4), dtype=np.float32)
+    out_c = np.zeros((num_frames, num_regions), dtype=np.int32)
+    out_m = np.zeros((num_frames, num_regions), dtype=np.float32)
+    for f in range(F):
+        n = min(feats.shape[1], num_regions)
+        out_f[f, :n] = feats[f, :n, :feat_dim]
+        out_b[f, :n] = boxes[f, :n]
+        out_c[f, :n] = classes[f, :n]
+        out_m[f, :n] = 1.0
+    return (out_f.reshape(S, feat_dim), box_geometry(out_b.reshape(S, 4)),
+            out_c.reshape(S), out_m.reshape(S))
+
+
+def _assemble(ds: CaptionDataset, pairs: list[tuple[int, int]],
+              model_cfg, batch_size: int) -> Batch:
+    S = model_cfg.num_frames * model_cfg.num_regions
+    T = model_cfg.max_tokens
+    D = model_cfg.feat_dim
+    Dg = model_cfg.global_feat_dim
+    B = batch_size
+    feats = np.zeros((B, S, D), dtype=np.float32)
+    geom = np.zeros((B, S, 5), dtype=np.float32)
+    cls = np.zeros((B, S), dtype=np.int32)
+    rmask = np.zeros((B, S), dtype=np.float32)
+    tokens = np.zeros((B, T), dtype=np.int32)
+    tmask = np.zeros((B, T), dtype=np.float32)
+    gfeat = np.zeros((B, Dg), dtype=np.float32) if Dg else None
+    eidx = np.zeros((B,), dtype=np.int32)
+    cidx = np.zeros((B,), dtype=np.int32)
+    valid = np.zeros((B,), dtype=np.float32)
+
+    for j, (ei, ci) in enumerate(pairs):
+        ex = ds.get(ei)
+        feats[j], geom[j], cls[j], rmask[j] = pad_regions(
+            ex.features, ex.boxes, ex.classes,
+            model_cfg.num_frames, model_cfg.num_regions, D)
+        ids, n_sup = ds.vocab.encode(ex.captions[ci], model_cfg.seq_length)
+        tokens[j] = ids
+        tmask[j, 1:1 + n_sup] = 1.0
+        if gfeat is not None and ex.global_feat is not None:
+            g = ex.global_feat[:Dg]
+            gfeat[j, :g.shape[0]] = g
+        eidx[j], cidx[j], valid[j] = ei, ci, 1.0
+    # Pad a short final batch by repeating row 0 (marked invalid).
+    for j in range(len(pairs), B):
+        feats[j], geom[j], cls[j], rmask[j] = feats[0], geom[0], cls[0], rmask[0]
+        tokens[j], tmask[j] = tokens[0], tmask[0]
+    return Batch(feats, geom, cls, rmask, tokens, tmask, gfeat, eidx, cidx, valid)
+
+
+def make_batches(ds: CaptionDataset, model_cfg, batch_size: int,
+                 shuffle: bool = True, seed: int = 0, drop_last: bool = True,
+                 prefetch: int = 2) -> Iterator[Batch]:
+    """Yield fixed-shape Batches over all (example, caption) pairs.
+
+    Like the reference DataLoader, iterates image-caption pairs (an image
+    with 5 captions appears 5 times per epoch with different targets).
+    """
+    pairs = [(ei, ci) for ei in range(len(ds))
+             for ci in range(len(ds.get(ei).captions))]
+    if shuffle:
+        np.random.default_rng(seed).shuffle(pairs)
+    chunks = []
+    for s in range(0, len(pairs), batch_size):
+        chunk = pairs[s:s + batch_size]
+        if len(chunk) < batch_size and drop_last:
+            continue
+        chunks.append(chunk)
+
+    if prefetch <= 0:
+        for chunk in chunks:
+            yield _assemble(ds, chunk, model_cfg, batch_size)
+        return
+
+    q: queue.Queue = queue.Queue(maxsize=prefetch)
+    _SENTINEL = object()
+
+    def worker():
+        try:
+            for chunk in chunks:
+                q.put(_assemble(ds, chunk, model_cfg, batch_size))
+        finally:
+            q.put(_SENTINEL)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _SENTINEL:
+            break
+        yield item
+
+
+def num_batches(ds: CaptionDataset, batch_size: int, drop_last: bool = True) -> int:
+    n = sum(len(ds.get(i).captions) for i in range(len(ds)))
+    return n // batch_size if drop_last else -(-n // batch_size)

@@ -1,0 +1,144 @@
+"""Synthetic fixtures: a learnable miniature grounded-captioning world.
+
+The reference has no test suite and no fixtures (SURVEY.md §4); we do
+better.  This module fabricates a dataset with the exact information
+structure of Flickr30k-/ANet-Entities — region features, boxes, detector
+classes, captions, and entity (word -> box) annotations — but generated
+from a known model so that:
+
+  * captions are *predictable from region features* (each object class has
+    a fixed feature-cluster center), so a smoke train run must show the
+    loss decreasing;
+  * every object word has a ground-truth box, so the grounding evaluator
+    (F1_all / F1_loc) exercises end-to-end;
+  * an HDF5+JSON writer emits the canonical on-disk layout, so the real
+    readers in `datasets.py` are tested against real files.
+"""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+
+from cvc_tpu.data.datasets import CaptionDataset, Entity, Example
+from cvc_tpu.data.vocab import Vocabulary
+
+_FILLER = ["a", "the", "next", "to", "and", "near", "with", "beside"]
+
+
+def _class_names(num_classes: int) -> list[str]:
+    return [f"obj{i}" for i in range(num_classes)]
+
+
+def make_synthetic_dataset(num_images: int = 256,
+                           vocab_size: int = 1000,
+                           num_regions: int = 36,
+                           num_frames: int = 1,
+                           feat_dim: int = 2048,
+                           global_feat_dim: int = 0,
+                           seq_length: int = 20,
+                           split: str = "train",
+                           num_classes: int = 24,
+                           seed: int = 0) -> CaptionDataset:
+    del vocab_size  # vocab is derived from the generated captions
+    # Split-dependent seed so train/val/test differ but are reproducible.
+    rng = np.random.default_rng(seed + {"train": 0, "val": 1, "test": 2}.get(split, 3))
+    names = _class_names(num_classes)
+    # Fixed class->feature cluster centers (shared across splits).
+    crng = np.random.default_rng(1234)
+    centers = crng.normal(size=(num_classes, feat_dim)).astype(np.float32)
+    centers *= 3.0 / np.linalg.norm(centers, axis=1, keepdims=True)
+
+    examples: list[Example] = []
+    all_captions: list[str] = []
+    for i in range(num_images):
+        n_obj = int(rng.integers(2, 5))
+        obj_cls = rng.choice(num_classes, size=n_obj, replace=False)
+        obj_boxes = _random_boxes(rng, n_obj)
+        F = max(1, num_frames)
+        feats = rng.normal(scale=0.5, size=(F, num_regions, feat_dim)).astype(np.float32)
+        boxes = np.zeros((F, num_regions, 4), dtype=np.float32)
+        classes = rng.integers(0, num_classes, size=(F, num_regions)).astype(np.int32)
+        for f in range(F):
+            boxes[f] = _random_boxes(rng, num_regions)
+            # First n_obj slots (shuffled) are true-object proposals.
+            order = rng.permutation(num_regions)
+            for k, c in enumerate(obj_cls):
+                slot = order[k]
+                feats[f, slot] += centers[c]
+                boxes[f, slot] = _jitter_box(rng, obj_boxes[k])
+                classes[f, slot] = c
+
+        # Caption: filler-delimited object words, in object order.
+        words, entities = [], []
+        for k, c in enumerate(obj_cls):
+            words.extend(rng.choice(_FILLER, size=2).tolist())
+            entities.append((0, len(words), int(c), obj_boxes[k]))
+            words.append(names[c])
+        caption = " ".join(words[: seq_length])
+        entities = [e for e in entities if e[1] < seq_length]
+        all_captions.append(caption)
+
+        gfeat = None
+        if global_feat_dim:
+            gfeat = feats.mean(axis=(0, 1))[:global_feat_dim].astype(np.float32)
+            if gfeat.shape[0] < global_feat_dim:
+                gfeat = np.pad(gfeat, (0, global_feat_dim - gfeat.shape[0]))
+        if num_frames <= 1:
+            feats, boxes, classes = feats[0], boxes[0], classes[0]
+        examples.append(Example(
+            image_id=f"{split}_{i}",
+            features=feats, boxes=boxes, classes=classes,
+            captions=[caption],
+            entities=[Entity(ci, wi, c, b) for ci, wi, c, b in entities],
+            global_feat=gfeat,
+        ))
+
+    # Deterministic vocab shared across splits: fillers + all class names.
+    vocab = Vocabulary.build(
+        [" ".join(_FILLER), " ".join(names)], min_count=1)
+    return CaptionDataset(examples, vocab, names)
+
+
+def _random_boxes(rng, n: int) -> np.ndarray:
+    xy = rng.uniform(0.0, 0.7, size=(n, 2))
+    wh = rng.uniform(0.15, 0.3, size=(n, 2))
+    return np.concatenate([xy, np.minimum(xy + wh, 1.0)], axis=1).astype(np.float32)
+
+
+def _jitter_box(rng, box: np.ndarray) -> np.ndarray:
+    d = rng.uniform(-0.02, 0.02, size=4).astype(np.float32)
+    out = np.clip(box + d, 0.0, 1.0)
+    out[2] = max(out[2], out[0] + 0.05)
+    out[3] = max(out[3], out[1] + 0.05)
+    return out
+
+
+def write_fixture_files(ds: CaptionDataset, feature_file: str,
+                        annotation_file: str, vocab_file: str,
+                        split: str = "train") -> None:
+    """Emit the canonical HDF5+JSON layout (see datasets.py docstring)."""
+    import h5py
+
+    with h5py.File(feature_file, "w") as f:
+        for ex in ds.examples:
+            g = f.create_group(ex.image_id)
+            g.create_dataset("features", data=ex.features)
+            g.create_dataset("boxes", data=ex.boxes)
+            g.create_dataset("classes", data=ex.classes)
+            if ex.global_feat is not None:
+                g.create_dataset("global", data=ex.global_feat)
+    images = []
+    for ex in ds.examples:
+        images.append({
+            "id": ex.image_id, "split": split, "captions": ex.captions,
+            "entities": [
+                {"caption_idx": e.caption_idx, "word_idx": e.word_idx,
+                 "class": ds.class_names[e.class_id],
+                 "box": [float(v) for v in e.box]}
+                for e in ex.entities],
+        })
+    with open(annotation_file, "w") as f:
+        json.dump({"classes": ds.class_names, "images": images}, f)
+    ds.vocab.save(vocab_file)

@@ -1,0 +1,95 @@
+"""The cyclical training objective: decode -> localize -> reconstruct.
+
+This is the reference's namesake method (paper §3; reference: cyclical
+orchestration inside `misc/model.py` forward + `main.py` loss sum;
+SURVEY.md §3.3).  Decisive semantics preserved:
+
+  (a) localizer queries are the DECODE pass's argmax words (generated, not
+      ground truth) — integer ids, so no gradient flows back through them;
+  (b) the reconstructor shares ALL decoder parameters (embedding, both
+      LSTMs, vocab head) — it differs only in that its per-step attention
+      context is replaced by the localized feature v̂_t;
+  (c) gradients reach the localizer only through the reconstruction XE.
+
+The whole cycle is one jit-compilable function: decode scan -> argmax ->
+batched localizer attention -> reconstruct scan -> two masked XE terms.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cvc_tpu.models import core
+from cvc_tpu.ops.primitives import dropout, masked_xent
+
+
+def _encode(params, cfg, arrays):
+    return core.encode_regions(
+        params, cfg, arrays["feats"], arrays["box_geom"],
+        arrays["region_cls"], arrays["region_mask"],
+        arrays.get("global_feat"))
+
+
+def decode_teacher_forced(params, cfg, arrays, rng=None, train: bool = False):
+    """Teacher-forced decode pass.
+
+    Returns (logits [B, L, V] f32, alphas [B, L, S], h_seq, enc) where
+    L = max_tokens - 1 (inputs tokens[:, :-1], targets tokens[:, 1:]).
+    """
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    v_enc, keys, v_global = _encode(params, cfg, arrays)
+    tokens = arrays["tokens"]
+    emb_in = core.embed_tokens(params, tokens[:, :-1], dtype)
+    h_seq, alphas, _ = core.decode(params, cfg, v_enc, keys, v_global,
+                                   emb_in, arrays["region_mask"])
+    if train and rng is not None:
+        h_seq = dropout(h_seq, cfg.drop_prob_lm, rng, deterministic=False)
+    return core.logits(params, h_seq), alphas, h_seq, (v_enc, keys, v_global)
+
+
+def cyclical_loss(params, cfg, arrays, rng=None, train: bool = False,
+                  enable_cycle: bool = True):
+    """Total loss = XE(decode) + cycle_weight * XE(reconstruct).
+
+    Returns (loss, metrics) with metrics = {loss, loss_decode, loss_recon}.
+    """
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    tokens, token_mask = arrays["tokens"], arrays["token_mask"]
+    targets = tokens[:, 1:]
+    mask = token_mask[:, 1:]
+
+    r_dec, r_loc = (jax.random.split(rng) if rng is not None else (None, None))
+    logits_dec, alphas, _, (v_enc, keys, v_global) = decode_teacher_forced(
+        params, cfg, arrays, r_dec, train)
+    loss_dec = masked_xent(logits_dec, targets, mask)
+
+    loss_rec = jnp.zeros((), jnp.float32)
+    if enable_cycle:
+        # (a) generated words from the decode pass (argmax, no gradient).
+        gen_words = jnp.argmax(logits_dec, axis=-1).astype(jnp.int32)  # [B,L]
+        # (b) localize each generated word over the regions.
+        _, v_hat = core.localize(params, cfg, gen_words, v_enc,
+                                 arrays["region_mask"])
+        # (c) reconstruct the GT caption with context := v̂_t, same params.
+        emb_in = core.embed_tokens(params, tokens[:, :-1], dtype)
+        h_rec, _, _ = core.decode(params, cfg, v_enc, keys, v_global, emb_in,
+                                  arrays["region_mask"],
+                                  context_override=v_hat)
+        if train and r_loc is not None:
+            h_rec = dropout(h_rec, cfg.drop_prob_lm, r_loc, deterministic=False)
+        logits_rec = core.logits(params, h_rec)
+        loss_rec = masked_xent(logits_rec, targets, mask)
+
+    loss = loss_dec + cfg.cycle_weight * loss_rec
+    metrics = {"loss": loss, "loss_decode": loss_dec, "loss_recon": loss_rec,
+               "attention_entropy": _mean_attention_entropy(alphas, mask)}
+    return loss, metrics
+
+
+def _mean_attention_entropy(alphas, token_mask):
+    """Diagnostic: mean entropy of the decoder's region attention over
+    supervised steps (grounding sharpens as this falls)."""
+    p = jnp.clip(alphas, 1e-9, 1.0)
+    ent = -jnp.sum(p * jnp.log(p), axis=-1)           # [B, L]
+    return jnp.sum(ent * token_mask) / jnp.maximum(jnp.sum(token_mask), 1.0)

@@ -1,0 +1,94 @@
+"""Data layer: vocab round-trip, synthetic fixtures, HDF5 reader, batcher."""
+
+import numpy as np
+
+from cvc_tpu.data.vocab import Vocabulary, BOS_ID, EOS_ID, PAD_ID, UNK_ID
+from cvc_tpu.data.synthetic import make_synthetic_dataset, write_fixture_files
+from cvc_tpu.data.datasets import load_hdf5_dataset
+from cvc_tpu.data.pipeline import make_batches, num_batches
+from tests.conftest import tiny_model_config
+
+
+def test_vocab_encode_decode_roundtrip():
+    v = Vocabulary.build(["a dog runs fast", "a cat runs"], min_count=1)
+    ids, n = v.encode("a dog runs", seq_length=8)
+    assert ids[0] == BOS_ID and ids[4] == EOS_ID and n == 4
+    assert (ids[5:] == PAD_ID).all()
+    assert v.decode_sequence(ids[None, :]) == ["a dog runs"]
+
+
+def test_vocab_unk_and_truncation():
+    v = Vocabulary.build(["a dog"], min_count=1)
+    ids, n = v.encode("a zebra " * 10, seq_length=4)
+    assert n == 5  # 4 words + EOS
+    assert (ids[1:5] == np.array([v.wtoi["a"], UNK_ID, v.wtoi["a"], UNK_ID])).all()
+
+
+def test_vocab_save_load(tmp_path):
+    v = Vocabulary.build(["a dog runs"], min_count=1)
+    p = str(tmp_path / "vocab.json")
+    v.save(p)
+    v2 = Vocabulary.load(p)
+    assert v2.itow == v.itow
+
+
+def test_synthetic_dataset_entities_ground_to_caption_words():
+    ds = make_synthetic_dataset(num_images=8, num_regions=16, feat_dim=32,
+                                seq_length=12, split="train", seed=0)
+    assert len(ds) == 8
+    for i in range(len(ds)):
+        ex = ds.get(i)
+        words = ex.captions[0].split()
+        for e in ex.entities:
+            assert words[e.word_idx] == ds.class_names[e.class_id]
+            assert e.box.shape == (4,)
+
+
+def test_fixture_roundtrip_through_hdf5(tmp_path):
+    ds = make_synthetic_dataset(num_images=6, num_regions=16, feat_dim=32,
+                                seq_length=12, split="train", seed=0)
+    ff, af, vf = (str(tmp_path / n) for n in
+                  ("feat.h5", "ann.json", "vocab.json"))
+    write_fixture_files(ds, ff, af, vf, split="train")
+    vocab = Vocabulary.load(vf)
+    ds2 = load_hdf5_dataset(ff, af, vocab, split="train")
+    assert len(ds2) == len(ds)
+    ex, ex2 = ds.get(0), ds2.get(0)
+    np.testing.assert_allclose(ex.features, ex2.features)
+    np.testing.assert_allclose(ex.boxes, ex2.boxes)
+    assert ex.captions == ex2.captions
+    assert [e.word_idx for e in ex.entities] == [e.word_idx for e in ex2.entities]
+
+
+def test_batcher_static_shapes_and_masks():
+    mc = tiny_model_config(feat_dim=32, num_regions=16, seq_length=12)
+    ds = make_synthetic_dataset(num_images=10, num_regions=20,  # > pad: truncate
+                                feat_dim=32, seq_length=12, split="train", seed=0)
+    batches = list(make_batches(ds, mc, batch_size=4, shuffle=True, seed=1,
+                                drop_last=False, prefetch=2))
+    assert len(batches) == num_batches(ds, 4, drop_last=False)
+    S, T = mc.num_regions, mc.max_tokens
+    for b in batches:
+        assert b.feats.shape == (4, S, 32)
+        assert b.box_geom.shape == (4, S, 5)
+        assert b.tokens.shape == (4, T)
+        assert (b.tokens[:, 0] == BOS_ID).all()
+        # masks: supervised positions exclude BOS, include EOS
+        assert (b.token_mask[:, 0] == 0).all()
+        assert ((b.region_mask == 0) | (b.region_mask == 1)).all()
+    # last batch may be padded; padded rows are marked invalid
+    tail = batches[-1]
+    assert tail.valid.sum() == 10 % 4 or tail.valid.sum() == 4
+
+
+def test_video_padding_flattens_frames():
+    from cvc_tpu.data.pipeline import pad_regions
+    F, N, D = 3, 5, 8
+    feats = np.ones((F, N, D), np.float32)
+    boxes = np.tile(np.array([0.1, 0.1, 0.5, 0.5], np.float32), (F, N, 1))
+    cls = np.ones((F, N), np.int32)
+    f, g, c, m = pad_regions(feats, boxes, cls, num_frames=4, num_regions=8,
+                             feat_dim=D)
+    assert f.shape == (32, D) and g.shape == (32, 5)
+    assert m.sum() == F * N  # only real slots masked in
+    assert np.isclose(g[0, 4], 0.16, atol=1e-5)  # area appended
