@@ -1,0 +1,4 @@
+from cvc_tpu.parallel.mesh import (make_mesh, param_shardings,
+                                   batch_shardings, replicated)
+
+__all__ = ["make_mesh", "param_shardings", "batch_shardings", "replicated"]

@@ -1,0 +1,117 @@
+"""The compiled training step.
+
+One XLA program per step (the key structural win over the reference's
+per-timestep Python loop + DataParallel scatter/gather; SURVEY.md §3.1):
+
+    decode scan -> localize -> reconstruct scan -> summed masked XE
+    -> grads -> clip -> Adam update
+
+SPMD: the step is `jit`ed with explicit shardings — batch over the "data"
+mesh axis, params replicated (vocab head optionally sharded over "model").
+XLA inserts the gradient all-reduce / logits collectives over ICI; the
+same compiled code runs on 1 chip or a slice.  This replaces the
+reference's `torch.nn.DataParallel` replicate/scatter/gather entirely.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from cvc_tpu.models.cyclical import cyclical_loss
+from cvc_tpu.parallel.mesh import (batch_shardings, param_shardings,
+                                   replicated)
+from cvc_tpu.training.train_state import TrainState
+
+
+def global_norm(tree) -> jnp.ndarray:
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jnp.sqrt(sum(jnp.sum(jnp.square(x.astype(jnp.float32)))
+                        for x in leaves))
+
+
+def state_shardings(mesh, state: TrainState, shard_vocab_head: bool = True):
+    """Sharding pytree matching a TrainState: params per `param_shardings`,
+    optimizer moments follow their params, scalars replicated."""
+    rep = replicated(mesh)
+    p_sh = param_shardings(mesh, state.params, shard_vocab_head)
+    o_sh = _shard_opt_like_params(state.opt_state, state.params, p_sh, rep)
+    return TrainState(params=p_sh, opt_state=o_sh, step=rep)
+
+
+def _shard_opt_like_params(opt_state, params, p_sh, rep):
+    """Give param-shaped leaves inside the optimizer state the same
+    sharding as their param (Adam mu/nu must co-shard with the vocab head
+    or XLA reshards every step)."""
+    param_leaves = jax.tree_util.tree_leaves(params)
+    shard_leaves = jax.tree_util.tree_leaves(p_sh)
+    shape_to_shard = {}
+    for p, s in zip(param_leaves, shard_leaves):
+        shape_to_shard.setdefault((p.shape, str(p.dtype)), s)
+
+    def leaf_rule(x):
+        if hasattr(x, "shape"):
+            return shape_to_shard.get((x.shape, str(x.dtype)), rep)
+        return rep
+
+    return jax.tree_util.tree_map(leaf_rule, opt_state)
+
+
+def make_train_step(model_cfg, train_cfg, optimizer, mesh=None,
+                    state=None, example_arrays=None):
+    """Build the jitted train step: step(state, arrays, rng) -> (state,
+    metrics).  With `mesh`, shardings are pinned from `state` and
+    `example_arrays` (GSPMD); without, a plain jit."""
+    enable_cycle = train_cfg.enable_cycle
+
+    def train_step(state: TrainState, arrays: dict, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(p):
+            return cyclical_loss(p, model_cfg, arrays, rng=rng, train=True,
+                                 enable_cycle=enable_cycle)
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u,
+                                        state.params, updates)
+        metrics["grad_norm"] = global_norm(grads)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1)
+        return new_state, metrics
+
+    donate = (0,) if train_cfg.donate_state else ()
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=donate)
+
+    assert state is not None and example_arrays is not None
+    sh = state_shardings(mesh, state)
+    bs = batch_shardings(mesh, example_arrays)
+    rep = replicated(mesh)
+    metric_sh = {k: rep for k in ("loss", "loss_decode", "loss_recon",
+                                  "attention_entropy", "grad_norm")}
+    return jax.jit(train_step, in_shardings=(sh, bs, rep),
+                   out_shardings=(sh, metric_sh), donate_argnums=donate)
+
+
+def make_eval_step(model_cfg, mesh=None, state=None, example_arrays=None):
+    """Jitted validation loss (no dropout, no update):
+    eval_step(params, arrays) -> metrics."""
+
+    def eval_step(params, arrays):
+        _, metrics = cyclical_loss(params, model_cfg, arrays, rng=None,
+                                   train=False, enable_cycle=True)
+        return metrics
+
+    if mesh is None:
+        return jax.jit(eval_step)
+    assert state is not None and example_arrays is not None
+    p_sh = param_shardings(mesh, state.params, shard_vocab_head=True)
+    bs = batch_shardings(mesh, example_arrays)
+    rep = replicated(mesh)
+    metric_sh = {k: rep for k in ("loss", "loss_decode", "loss_recon",
+                                  "attention_entropy")}
+    return jax.jit(eval_step, in_shardings=(p_sh, bs),
+                   out_shardings=metric_sh)

@@ -7,13 +7,18 @@ with real collectives, just on host.  Must run before jax initializes.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # override profile's axon/TPU setting
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+# Plugins (jaxtyping) may import jax before this conftest runs, baking in
+# the profile's JAX_PLATFORMS=axon — override through the config API too.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 # The CPU backend lowers f32 batched matmuls at reduced (bf16-like)
 # precision by default, which breaks exact-equivalence tests; force full
