@@ -1,0 +1,231 @@
+"""On-device caption generation: greedy, temperature sampling, beam search.
+
+The reference generates captions with a per-image Python beam loop that
+round-trips host<->device every step of every beam (reference:
+`misc/CaptionModel.py` beam_search/sample; SURVEY.md §3.2).  Here the whole
+generation is ONE compiled XLA program:
+
+  * the beam dimension is folded into the batch (matmuls see B*K rows —
+    MXU-friendly);
+  * per-step candidate selection is `lax.top_k` over K*V scores;
+  * beam state (LSTM carries, token/attention histories) is reordered
+    with gather by parent index each step;
+  * the decoder's per-step region attention α is recorded per kept beam —
+    it IS the grounding output evaluated by F1_all/F1_loc.
+
+EOS semantics: a finished beam can only extend with PAD at zero logprob,
+so its cumulative score freezes; token buffers after EOS hold PAD, which
+`decode_sequence` strips.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from cvc_tpu.data.vocab import BOS_ID, EOS_ID, PAD_ID
+from cvc_tpu.models import core
+
+NEG_INF = jnp.float32(-1e30)
+
+
+def _encode(params, cfg, arrays):
+    return core.encode_regions(
+        params, cfg, arrays["feats"], arrays["box_geom"],
+        arrays["region_cls"], arrays["region_mask"],
+        arrays.get("global_feat"))
+
+
+def _step_logits(params, cfg, carry, prev_word, v_enc, keys, region_mask,
+                 vg_pre):
+    """One autoregressive step: embed prev word -> fused decoder step ->
+    vocab logits.  Rows = B (greedy) or B*K (beam)."""
+    H, E = cfg.rnn_size, cfg.input_encoding_size
+    dtype = keys.dtype
+    emb = core.embed_tokens(params, prev_word, dtype)            # [R, E]
+    al = params["att_lstm"]
+    _, _, w_e = core._split_wx_att(al["wx"].astype(dtype), E, H)
+    pre1 = emb @ w_e + vg_pre                                    # [R, 4H]
+    carry, (h_lang, alpha) = core.decoder_step(
+        params, cfg, carry, {"pre1": pre1, "ctx": jnp.zeros_like(carry[0])},
+        v_enc=v_enc, keys=keys, region_mask=region_mask, use_attention=True)
+    logits = core.logits(params, h_lang)                         # [R, V] f32
+    return carry, logits, alpha
+
+
+def _vg_pre(params, cfg, v_global):
+    """Precompute the v_global + bias half of the att-LSTM gates."""
+    H, E = cfg.rnn_size, cfg.input_encoding_size
+    al = params["att_lstm"]
+    dtype = v_global.dtype
+    _, w_vg, _ = core._split_wx_att(al["wx"].astype(dtype), E, H)
+    return v_global @ w_vg + al["b"].astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# Greedy / sampling
+# ---------------------------------------------------------------------------
+
+def greedy_decode(params, cfg, arrays, max_len: int, temperature: float = 1.0,
+                  rng=None, sample: bool = False):
+    """Argmax (or temperature-sampled) decoding.
+
+    Returns dict(tokens [B, L], alphas [B, L, S], logprobs [B, L]) where L =
+    max_len + 1 (room for EOS).  (reference: CaptionModel.sample)
+    """
+    B = arrays["feats"].shape[0]
+    v_enc, keys, v_global = _encode(params, cfg, arrays)
+    vg_pre = _vg_pre(params, cfg, v_global)
+    region_mask = arrays["region_mask"]
+    L = max_len + 1
+    init = dict(
+        carry=core.initial_state(B, cfg.rnn_size, keys.dtype),
+        word=jnp.full((B,), BOS_ID, jnp.int32),
+        finished=jnp.zeros((B,), jnp.bool_),
+        rng=rng if rng is not None else jax.random.PRNGKey(0),
+    )
+
+    def body(s, _):
+        carry, logits, alpha = _step_logits(
+            params, cfg, s["carry"], s["word"], v_enc, keys, region_mask,
+            vg_pre)
+        logp = jax.nn.log_softmax(logits / jnp.maximum(temperature, 1e-6))
+        if sample:
+            r, sub = jax.random.split(s["rng"])
+            nxt = jax.random.categorical(sub, logp)
+        else:
+            r = s["rng"]
+            nxt = jnp.argmax(logp, axis=-1)
+        nxt = nxt.astype(jnp.int32)
+        tok_lp = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
+        nxt = jnp.where(s["finished"], PAD_ID, nxt)
+        tok_lp = jnp.where(s["finished"], 0.0, tok_lp)
+        fin = s["finished"] | (nxt == EOS_ID)
+        return (dict(carry=carry, word=nxt, finished=fin, rng=r),
+                (nxt, alpha, tok_lp))
+
+    _, (tokens, alphas, logprobs) = jax.lax.scan(body, init, None, length=L)
+    return dict(tokens=jnp.swapaxes(tokens, 0, 1),
+                alphas=jnp.swapaxes(alphas, 0, 1),
+                logprobs=jnp.swapaxes(logprobs, 0, 1))
+
+
+# ---------------------------------------------------------------------------
+# Vectorized beam search
+# ---------------------------------------------------------------------------
+
+def beam_search(params, cfg, arrays, beam_size: int, max_len: int,
+                length_penalty: float = 0.0, return_all_beams: bool = False):
+    """Batched on-device beam search with attention recording.
+
+    Returns dict(tokens [B, L], alphas [B, L, S], scores [B]) for the best
+    beam (plus all-beam buffers if requested).  L = max_len + 1.
+    (reference: CaptionModel.beam_search — per-image Python loop, rebuilt
+    as one lax.scan over fused steps with lax.top_k selection.)
+    """
+    K = beam_size
+    B = arrays["feats"].shape[0]
+    S = arrays["region_mask"].shape[1]
+    V = cfg.vocab_size
+    L = max_len + 1
+
+    v_enc, keys, v_global = _encode(params, cfg, arrays)
+    vg_pre = _vg_pre(params, cfg, v_global)
+    region_mask = arrays["region_mask"]
+
+    # Fold beams into batch: every per-region tensor repeats K times.
+    rep = lambda x: jnp.repeat(x, K, axis=0)            # [B*K, ...]
+    v_enc_k, keys_k, mask_k, vg_pre_k = map(rep, (v_enc, keys, region_mask,
+                                                  vg_pre))
+
+    z = jnp.zeros((B * K, cfg.rnn_size), keys.dtype)
+    init = dict(
+        carry=(z, z, z, z),
+        word=jnp.full((B, K), BOS_ID, jnp.int32),
+        logprobs=jnp.zeros((B, K), jnp.float32),
+        finished=jnp.zeros((B, K), jnp.bool_),
+        tokens=jnp.full((B, K, L), PAD_ID, jnp.int32),
+        alphas=jnp.zeros((B, K, L, S), jnp.float32),
+        lengths=jnp.zeros((B, K), jnp.int32),
+    )
+
+    def body(s, t):
+        carry, logits, alpha = _step_logits(
+            params, cfg, s["carry"], s["word"].reshape(B * K), v_enc_k,
+            keys_k, mask_k, vg_pre_k)
+        logp = jax.nn.log_softmax(logits).reshape(B, K, V)
+        alpha = alpha.reshape(B, K, S)
+
+        # Finished beams: only PAD, at zero cost (score freezes).
+        pad_only = jnp.full((V,), NEG_INF).at[PAD_ID].set(0.0)
+        logp = jnp.where(s["finished"][..., None], pad_only[None, None, :],
+                         logp)
+        cand = s["logprobs"][..., None] + logp                   # [B, K, V]
+        # t == 0: all beams identical -> keep only beam 0's candidates.
+        beam_live = (jnp.arange(K) == 0)[None, :, None]
+        cand = jnp.where((t == 0) & ~beam_live, NEG_INF, cand)
+
+        top_lp, top_idx = jax.lax.top_k(cand.reshape(B, K * V), K)  # [B, K]
+        parent = top_idx // V
+        word = (top_idx % V).astype(jnp.int32)
+
+        # Reorder all beam state by parent.
+        def gather_k(x):                                  # [B, K, ...]
+            return jnp.take_along_axis(
+                x, parent.reshape(parent.shape + (1,) * (x.ndim - 2)), axis=1)
+
+        carry = tuple(
+            jnp.take_along_axis(
+                c.reshape(B, K, -1), parent[..., None], axis=1
+            ).reshape(B * K, -1)
+            for c in carry)
+        tokens = gather_k(s["tokens"]).at[:, :, t].set(word)
+        alphas = gather_k(s["alphas"]).at[:, :, t].set(gather_k(alpha))
+        finished = gather_k(s["finished"][..., None])[..., 0]
+        lengths = gather_k(s["lengths"][..., None])[..., 0]
+        lengths = jnp.where(finished, lengths, lengths + 1)
+        finished = finished | (word == EOS_ID)
+
+        return (dict(carry=carry, word=word, logprobs=top_lp,
+                     finished=finished, tokens=tokens, alphas=alphas,
+                     lengths=lengths),
+                None)
+
+    s, _ = jax.lax.scan(body, init, jnp.arange(L))
+
+    scores = s["logprobs"]
+    if length_penalty > 0:
+        norm = jnp.power((5.0 + s["lengths"].astype(jnp.float32)) / 6.0,
+                         length_penalty)
+        scores = scores / norm
+    best = jnp.argmax(scores, axis=1)                            # [B]
+    take = lambda x: jnp.take_along_axis(
+        x, best.reshape((B,) + (1,) * (x.ndim - 1)), axis=1)[:, 0]
+    out = dict(tokens=take(s["tokens"]), alphas=take(s["alphas"]),
+               scores=take(scores))
+    if return_all_beams:
+        out.update(all_tokens=s["tokens"], all_scores=scores,
+                   all_alphas=s["alphas"])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Jitted entry points
+# ---------------------------------------------------------------------------
+
+def make_decoder(cfg, eval_cfg):
+    """Build the jitted generation function per EvalConfig.sample_method."""
+    if eval_cfg.sample_method == "beam" and eval_cfg.beam_size > 1:
+        fn = partial(beam_search, cfg=cfg, beam_size=eval_cfg.beam_size,
+                     max_len=eval_cfg.max_length,
+                     length_penalty=eval_cfg.length_penalty)
+        return jax.jit(lambda params, arrays: fn(params=params, arrays=arrays))
+    sample = eval_cfg.sample_method == "sample"
+    fn = partial(greedy_decode, cfg=cfg, max_len=eval_cfg.max_length,
+                 temperature=eval_cfg.temperature, sample=sample)
+    if sample:
+        return jax.jit(lambda params, arrays, rng:
+                       fn(params=params, arrays=arrays, rng=rng))
+    return jax.jit(lambda params, arrays: fn(params=params, arrays=arrays))
