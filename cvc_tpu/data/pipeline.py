@@ -126,14 +126,18 @@ def _assemble(ds: CaptionDataset, pairs: list[tuple[int, int]],
 
 def make_batches(ds: CaptionDataset, model_cfg, batch_size: int,
                  shuffle: bool = True, seed: int = 0, drop_last: bool = True,
-                 prefetch: int = 2) -> Iterator[Batch]:
+                 prefetch: int = 2, unique_images: bool = False) -> Iterator[Batch]:
     """Yield fixed-shape Batches over all (example, caption) pairs.
 
     Like the reference DataLoader, iterates image-caption pairs (an image
     with 5 captions appears 5 times per epoch with different targets).
+    `unique_images=True` yields each image once (generation/eval mode).
     """
-    pairs = [(ei, ci) for ei in range(len(ds))
-             for ci in range(len(ds.get(ei).captions))]
+    if unique_images:
+        pairs = [(ei, 0) for ei in range(len(ds))]
+    else:
+        pairs = [(ei, ci) for ei in range(len(ds))
+                 for ci in range(len(ds.get(ei).captions))]
     if shuffle:
         np.random.default_rng(seed).shuffle(pairs)
     chunks = []

@@ -1,0 +1,105 @@
+"""Split evaluation: generate captions on-device, score language +
+grounding on host (reference: the eval branch of `main.py` +
+`language_eval` + the grounding script; SURVEY.md §3.2/§3.4).
+
+Flow per batch: jitted decode (greedy or beam, with recorded region
+attention) -> decode_sequence to words -> collect predictions JSON and
+per-image grounding samples -> corpus metrics at the end.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from cvc_tpu.data.pipeline import make_batches
+from cvc_tpu.evaluation.grounding import (grounding_eval,
+                                          gt_sentence_localization)
+from cvc_tpu.evaluation.language_eval import language_eval
+from cvc_tpu.models.cyclical import decode_teacher_forced
+from cvc_tpu.models.decoding import make_decoder
+
+
+def generate_split(params, model_cfg, eval_cfg, ds, batch_size: int,
+                   rng=None):
+    """Generate one caption per image.  Returns (predictions,
+    grounding_samples, references) ready for the scorers."""
+    import jax
+
+    decoder = make_decoder(model_cfg, eval_cfg)
+    needs_rng = eval_cfg.sample_method == "sample"
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+
+    predictions, samples, references = [], [], {}
+    for batch in make_batches(ds, model_cfg, batch_size, shuffle=False,
+                              drop_last=False, unique_images=True):
+        arrays = {k: jnp.asarray(v) for k, v in batch.model_inputs().items()}
+        if needs_rng:
+            rng, sub = jax.random.split(rng)
+            out = decoder(params, arrays, sub)
+        else:
+            out = decoder(params, arrays)
+        tokens = np.asarray(out["tokens"])
+        alphas = np.asarray(out["alphas"])
+        sents = ds.vocab.decode_sequence(tokens)
+        for i in range(len(sents)):
+            if not batch.valid[i]:
+                continue
+            ex = ds.get(int(batch.example_idx[i]))
+            words = sents[i].split()
+            predictions.append({"image_id": ex.image_id,
+                                "caption": sents[i]})
+            references[ex.image_id] = list(ex.captions)
+            samples.append({
+                "words": words,
+                "attn": alphas[i, :len(words)],
+                "boxes": np.asarray(batch.box_geom[i][:, :4]),
+                "gt": [{"class_id": e.class_id,
+                        "box": np.asarray(e.box)} for e in ex.entities],
+            })
+    return predictions, samples, references
+
+
+def evaluate_split(params, model_cfg, eval_cfg, ds, batch_size: int,
+                   out_path: str | None = None, rng=None) -> dict:
+    """Full protocol: caption metrics + grounding F1 (+ GT-sentence mode
+    when eval_cfg.gt_sentence_mode)."""
+    predictions, samples, references = generate_split(
+        params, model_cfg, eval_cfg, ds, batch_size, rng)
+    results = {}
+    if eval_cfg.language_eval and predictions:
+        results.update(language_eval(predictions, references,
+                                     out_path=out_path))
+    if eval_cfg.grounding_eval and samples:
+        results.update(grounding_eval(samples, ds.class_names))
+        results.pop("per_class", None)
+    if eval_cfg.gt_sentence_mode:
+        results.update(gt_sentence_attention_eval(
+            params, model_cfg, ds, batch_size))
+    results["n_images"] = len(predictions)
+    return results
+
+
+def gt_sentence_attention_eval(params, model_cfg, ds, batch_size: int) -> dict:
+    """Teacher-forced localization accuracy: run the decode pass on GT
+    captions and check the decoder's attention at annotated word positions
+    (the reference's GT-sentence grounding mode)."""
+    samples = []
+    for batch in make_batches(ds, model_cfg, batch_size, shuffle=False,
+                              drop_last=False):
+        arrays = {k: jnp.asarray(v) for k, v in batch.model_inputs().items()}
+        _, alphas, _, _ = decode_teacher_forced(params, model_cfg, arrays)
+        alphas = np.asarray(alphas)
+        for i in range(alphas.shape[0]):
+            if not batch.valid[i]:
+                continue
+            ex = ds.get(int(batch.example_idx[i]))
+            ci = int(batch.caption_idx[i])
+            gt = [{"word_idx": e.word_idx, "box": np.asarray(e.box)}
+                  for e in ex.entities if e.caption_idx == ci]
+            if gt:
+                samples.append({"attn": alphas[i],
+                                "boxes": np.asarray(batch.box_geom[i][:, :4]),
+                                "gt": gt})
+    return gt_sentence_localization(samples)

@@ -1,0 +1,57 @@
+"""Language-metric orchestration (reference: `language_eval()` path in
+`main.py` -> coco-caption; SURVEY.md §3.2).
+
+Takes generated captions + references, applies the PTB tokenizer, and
+computes BLEU@1-4, CIDEr(-D) and METEOR.  METEOR/SPICE in the reference
+are Java jars; here METEOR falls back to the pure-Python `meteor_lite`
+when no JVM is present (always, in this sandbox) and SPICE — which needs a
+dependency parser — is reported as None rather than faked.  Results are
+also written as a JSON artifact like the reference's eval outputs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from cvc_tpu.evaluation.bleu import corpus_bleu
+from cvc_tpu.evaluation.cider import CiderD
+from cvc_tpu.evaluation.meteor_lite import meteor_lite
+from cvc_tpu.evaluation.tokenizer import tokenize_corpus
+
+
+def language_eval(predictions: list[dict],
+                  references: dict[str, list[str]],
+                  out_path: str | None = None) -> dict:
+    """predictions: [{'image_id': str, 'caption': str}, ...]
+    references:  {image_id: [raw ref sentence, ...]}
+    Returns {'Bleu_1'..'Bleu_4', 'CIDEr', 'METEOR_lite', 'SPICE': None}.
+    """
+    cand_raw = {str(p["image_id"]): [p["caption"]] for p in predictions}
+    refs_raw = {str(k): v for k, v in references.items()}
+    # score only ids present on both sides, tokenized identically
+    ids = [i for i in cand_raw if i in refs_raw]
+    cand_tok = tokenize_corpus({i: cand_raw[i] for i in ids})
+    refs_tok = tokenize_corpus({i: refs_raw[i] for i in ids})
+    candidates = {i: cand_tok[i][0] for i in ids}
+
+    bleu = corpus_bleu(candidates, refs_tok)
+    cider, cider_per_img = CiderD().compute_score(candidates, refs_tok)
+    out = {f"Bleu_{n+1}": bleu[n] for n in range(4)}
+    out["CIDEr"] = cider
+    if shutil.which("java"):
+        out["METEOR"] = None  # jar integration point (no jar in sandbox)
+        out["METEOR_lite"] = meteor_lite(candidates, refs_tok)
+    else:
+        out["METEOR_lite"] = meteor_lite(candidates, refs_tok)
+    out["SPICE"] = None  # requires a scene-graph parser (Java); not faked
+    out["n_scored"] = len(ids)
+
+    if out_path:
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        with open(out_path, "w") as f:
+            json.dump({"overall": out,
+                       "per_image_CIDEr": cider_per_img,
+                       "predictions": predictions}, f, indent=2)
+    return out

@@ -1,0 +1,164 @@
+"""Metric parity tests: hand-computed BLEU/CIDEr values, tokenizer
+behavior, METEOR-lite ordering sanity, grounding-F1 micro-examples
+(SURVEY.md §4 'metric-parity tests')."""
+
+import numpy as np
+import pytest
+
+from cvc_tpu.evaluation.bleu import corpus_bleu
+from cvc_tpu.evaluation.cider import CiderD
+from cvc_tpu.evaluation.grounding import grounding_eval, gt_sentence_localization
+from cvc_tpu.evaluation.language_eval import language_eval
+from cvc_tpu.evaluation.meteor_lite import meteor_lite
+from cvc_tpu.evaluation.tokenizer import ptb_tokenize
+
+
+def test_ptb_tokenizer_punctuation_and_case():
+    assert ptb_tokenize("A man, riding; a horse.") == \
+        ["a", "man", "riding", "a", "horse"]
+    assert ptb_tokenize("Don't stop!") == ["don't", "stop"]
+    assert ptb_tokenize("") == []
+
+
+def test_bleu_hand_computed():
+    cand = {"1": "the cat sat on the mat"}
+    refs = {"1": ["the cat is on the mat"]}
+    b = corpus_bleu(cand, refs)
+    np.testing.assert_allclose(b[0], 5 / 6, rtol=1e-9)
+    np.testing.assert_allclose(b[1], (5 / 6 * 3 / 5) ** 0.5, rtol=1e-9)
+    np.testing.assert_allclose(b[2], (5 / 6 * 3 / 5 * 1 / 4) ** (1 / 3),
+                               rtol=1e-9)
+    assert b[3] < 1e-2  # zero 4-gram overlap -> epsilon only
+
+
+def test_bleu_perfect_match_is_one():
+    cand = {"1": "a dog runs", "2": "the bird flies high"}
+    refs = {"1": ["a dog runs"], "2": ["the bird flies high", "a bird"]}
+    b = corpus_bleu(cand, refs)
+    np.testing.assert_allclose(b[0], 1.0, rtol=1e-6)
+    np.testing.assert_allclose(b[3], 1.0, rtol=1e-3)
+
+
+def test_bleu_brevity_penalty():
+    cand = {"1": "the cat"}                       # len 2
+    refs = {"1": ["the cat sat on the mat"]}      # len 6
+    b = corpus_bleu(cand, refs)
+    np.testing.assert_allclose(b[0], np.exp(1 - 6 / 2) * 1.0, rtol=1e-9)
+
+
+def test_cider_identity_scores_ten():
+    cand = {"1": "a dog runs fast", "2": "the bird flies high"}
+    refs = {"1": ["a dog runs fast"], "2": ["the bird flies high"]}
+    corpus, per_img = CiderD().compute_score(cand, refs)
+    np.testing.assert_allclose(per_img["1"], 10.0, rtol=1e-9)
+    np.testing.assert_allclose(corpus, 10.0, rtol=1e-9)
+
+
+def test_cider_short_sentence_loses_missing_ngram_orders():
+    # CIDEr-D divides by n=4 even when the sentence has no 4-grams: an
+    # identical 3-word caption caps at 7.5 (faithful toolkit behavior).
+    cand = {"1": "a dog runs fast", "2": "the bird flies"}
+    refs = {"1": ["a dog runs fast"], "2": ["the bird flies"]}
+    _, per_img = CiderD().compute_score(cand, refs)
+    np.testing.assert_allclose(per_img["2"], 7.5, rtol=1e-9)
+
+
+def test_cider_disjoint_is_zero_and_orders_partial():
+    cand = {"1": "a dog runs", "2": "purple elephants sing"}
+    refs = {"1": ["a dog runs"], "2": ["the bird flies home"]}
+    _, per_img = CiderD().compute_score(cand, refs)
+    assert per_img["2"] == 0.0
+    assert per_img["1"] > 5.0
+
+
+def test_cider_length_penalty_gaussian():
+    # identical n-gram overlap, but a longer reference costs via the
+    # Gaussian length penalty ("3" dilutes DF so IDF weights are nonzero)
+    cand = {"1": "a dog runs", "2": "a dog runs", "3": "the bird flies"}
+    refs = {"1": ["a dog runs"],
+            "2": ["a dog runs far away tonight"],
+            "3": ["the bird flies"]}
+    _, per_img = CiderD().compute_score(cand, refs)
+    assert per_img["1"] > per_img["2"] > 0.0
+
+
+def test_meteor_lite_ordering():
+    refs = {"1": ["a man rides a brown horse"]}
+    good = meteor_lite({"1": "a man rides a brown horse"}, refs)
+    near = meteor_lite({"1": "a man riding a brown horse"}, refs)   # stem match
+    bad = meteor_lite({"1": "purple elephants sing loudly"}, refs)
+    assert good > near > bad
+    assert good > 0.9 and bad == 0.0
+
+
+def test_language_eval_end_to_end(tmp_path):
+    preds = [{"image_id": "1", "caption": "A big dog runs fast."},
+             {"image_id": "2", "caption": "the small bird flies high"}]
+    refs = {"1": ["a big dog runs fast"],
+            "2": ["the small bird flies high", "a blue bird"]}
+    out = language_eval(preds, refs, out_path=str(tmp_path / "res.json"))
+    np.testing.assert_allclose(out["Bleu_1"], 1.0, rtol=1e-6)
+    np.testing.assert_allclose(out["Bleu_4"], 1.0, rtol=1e-6)
+    # image 2's second ref ("a blue bird") dilutes its ref-averaged CIDEr
+    assert 5.0 < out["CIDEr"] < 10.0
+    assert out["SPICE"] is None
+    assert out["n_scored"] == 2
+    assert (tmp_path / "res.json").exists()
+
+
+# ---------------------------------------------------------------------------
+# Grounding
+# ---------------------------------------------------------------------------
+
+def _boxes():
+    return np.array([[0, 0, .5, .5], [.5, .5, 1, 1]], np.float32)
+
+
+def test_grounding_perfect_and_missed_class():
+    class_names = ["dog", "cat"]
+    samples = [
+        {  # generates 'dog', attends to the right region
+            "words": ["a", "dog"],
+            "attn": np.array([[.5, .5], [.9, .1]]),
+            "boxes": _boxes(),
+            "gt": [{"class_id": 0, "box": [0, 0, .5, .5]}],
+        },
+        {  # GT has a cat, model never says 'cat' -> recall 0 for cat
+            "words": ["a", "dog"],
+            "attn": np.array([[.5, .5], [.9, .1]]),
+            "boxes": _boxes(),
+            "gt": [{"class_id": 1, "box": [.5, .5, 1, 1]}],
+        },
+    ]
+    out = grounding_eval(samples, class_names)
+    # dog: sample1 correct; sample2 generated 'dog' but no dog in GT
+    #   -> prec 1/2, rec 1/1, f1 = 2*(0.5*1)/(1.5) = 2/3; loc: 1/1
+    # cat: never generated -> prec 0, rec 0, f1 0, loc 0
+    np.testing.assert_allclose(out["per_class"]["dog"]["f1"], 2 / 3, rtol=1e-9)
+    np.testing.assert_allclose(out["per_class"]["dog"]["loc_acc"], 1.0)
+    assert out["per_class"]["cat"]["f1"] == 0.0
+    np.testing.assert_allclose(out["F1_all"], (2 / 3 + 0) / 2, rtol=1e-9)
+    np.testing.assert_allclose(out["F1_loc"], 0.5, rtol=1e-9)
+
+
+def test_grounding_wrong_region_fails_iou():
+    samples = [{
+        "words": ["dog"],
+        "attn": np.array([[.1, .9]]),          # attends wrong region
+        "boxes": _boxes(),
+        "gt": [{"class_id": 0, "box": [0, 0, .5, .5]}],
+    }]
+    out = grounding_eval(samples, ["dog"])
+    assert out["F1_all"] == 0.0 and out["F1_loc"] == 0.0
+
+
+def test_gt_sentence_localization_mode():
+    samples = [{
+        "attn": np.array([[.9, .1], [.1, .9]]),
+        "boxes": _boxes(),
+        "gt": [{"word_idx": 0, "box": [0, 0, .5, .5]},     # correct
+               {"word_idx": 1, "box": [0, 0, .5, .5]}],    # wrong region
+    }]
+    out = gt_sentence_localization(samples)
+    np.testing.assert_allclose(out["attn_accuracy"], 0.5)
+    assert out["n_words"] == 2
