@@ -1,0 +1,143 @@
+"""The experiment driver: epoch loop, periodic eval, checkpointing, resume.
+
+This is the reference's `main.py` rebuilt (reference: main()/train()/eval()
+orchestration; SURVEY.md §2 'Experiment driver', §3.1): build data + model
++ optimizer, run the jitted train step over epochs, periodically score the
+val split (language + grounding), checkpoint every epoch with best-CIDEr
+retention, and resume from --start_from.
+"""
+
+from __future__ import annotations
+
+import time
+
+import jax
+import jax.numpy as jnp
+
+from cvc_tpu.config import Config
+from cvc_tpu.data.datasets import load_dataset
+from cvc_tpu.data.pipeline import make_batches, num_batches
+from cvc_tpu.evaluation.evaluator import evaluate_split
+from cvc_tpu.models import core
+from cvc_tpu.parallel.mesh import make_mesh, shard_batch
+from cvc_tpu.training.checkpoint import CheckpointManager, save_config
+from cvc_tpu.training.optimizer import make_optimizer
+from cvc_tpu.training.step import make_train_step, state_shardings
+from cvc_tpu.training.train_state import TrainState
+from cvc_tpu.utils.logging import MetricLogger
+
+
+def _finalize_model_config(cfg: Config, ds) -> None:
+    """Derive static model dims from the dataset (vocab padded to a
+    multiple of 128 so the head matmul tiles the MXU)."""
+    cfg.model.vocab_size = ds.vocab.padded_size(128)
+    if ds.class_names:
+        cfg.model.num_classes = max(cfg.model.num_classes,
+                                    len(ds.class_names))
+
+
+def train(cfg: Config, max_epochs: int | None = None,
+          log_dir: str | None = None) -> dict:
+    """Run training per Config; returns summary infos (incl. best CIDEr)."""
+    t_cfg, m_cfg = cfg.train, cfg.model
+    train_ds = load_dataset(cfg.data, m_cfg, "train")
+    val_ds = load_dataset(cfg.data, m_cfg, "val")
+    _finalize_model_config(cfg, train_ds)
+
+    n_dev = t_cfg.num_devices or len(jax.devices())
+    n_dev = min(n_dev, len(jax.devices()))
+    use_mesh = n_dev > 1 or t_cfg.model_axis > 1
+    mesh = make_mesh(n_dev, t_cfg.model_axis) if use_mesh else None
+
+    steps_per_epoch = max(num_batches(train_ds, cfg.data.batch_size), 1)
+    optimizer = make_optimizer(t_cfg, steps_per_epoch)
+    params = core.init_params(jax.random.PRNGKey(t_cfg.seed), m_cfg)
+    state = TrainState.create(params, optimizer)
+
+    ckpt = CheckpointManager(t_cfg.checkpoint_path)
+    infos = {"epoch": 0, "best_cider": -1.0, "best_step": -1}
+    if t_cfg.start_from:
+        resume = CheckpointManager(t_cfg.start_from)
+        state, infos = resume.restore(state)
+        print(f"resumed from {t_cfg.start_from} @ step {int(state.step)} "
+              f"(epoch {infos.get('epoch', '?')})", flush=True)
+    save_config(t_cfg.checkpoint_path, cfg)
+
+    example = None
+    if mesh is not None:
+        for b in make_batches(train_ds, m_cfg, cfg.data.batch_size,
+                              prefetch=0):
+            example = b.model_inputs()
+            break
+        state = jax.device_put(state, state_shardings(mesh, state))
+    step_fn = make_train_step(m_cfg, t_cfg, optimizer, mesh=mesh,
+                              state=state, example_arrays=example)
+
+    logger = MetricLogger(log_dir or f"{t_cfg.checkpoint_path}/logs")
+    rng = jax.random.PRNGKey(t_cfg.seed + 1)
+    epochs = max_epochs if max_epochs is not None else t_cfg.max_epochs
+    start_epoch = int(infos.get("epoch", 0))
+
+    py_step = int(state.step)  # host-side mirror; avoids device syncs
+    for epoch in range(start_epoch, epochs):
+        t0 = time.time()
+        n_tokens = 0
+        for batch in make_batches(train_ds, m_cfg, cfg.data.batch_size,
+                                  shuffle=cfg.data.shuffle,
+                                  seed=cfg.data.seed + epoch,
+                                  prefetch=cfg.data.prefetch):
+            arrays = batch.model_inputs()
+            arrays = (shard_batch(mesh, arrays) if mesh is not None
+                      else jax.device_put(arrays))
+            state, metrics = step_fn(state, arrays, rng)
+            py_step += 1
+            n_tokens += float(batch.token_mask.sum())
+            if py_step % t_cfg.losses_log_every == 0:
+                logger.log(py_step, metrics, prefix="train")
+        jax.block_until_ready(state.params)
+        dt = time.time() - t0
+        logger.log(int(state.step),
+                   {"epoch": epoch, "sec": dt,
+                    "tokens_per_sec": n_tokens / max(dt, 1e-9)},
+                   prefix="speed")
+
+        val_metrics = {}
+        if (epoch + 1) % t_cfg.val_every_epoch == 0:
+            if t_cfg.language_eval or t_cfg.grounding_eval:
+                e_cfg = cfg.eval
+                beam = t_cfg.beam_size or e_cfg.beam_size
+                from dataclasses import replace
+                val_eval_cfg = replace(e_cfg, beam_size=beam,
+                                       sample_method="beam" if beam > 1
+                                       else "greedy",
+                                       max_length=m_cfg.seq_length,
+                                       language_eval=t_cfg.language_eval,
+                                       grounding_eval=t_cfg.grounding_eval)
+                val_metrics = evaluate_split(
+                    _host_params(state), m_cfg, val_eval_cfg, val_ds,
+                    cfg.data.batch_size)
+                logger.log(int(state.step), val_metrics, prefix="val")
+            cider = float(val_metrics.get("CIDEr") or 0.0)
+            if cider > infos["best_cider"]:
+                infos["best_cider"] = cider
+                infos["best_step"] = int(state.step)
+
+        infos["epoch"] = epoch + 1
+        if (epoch + 1) % t_cfg.save_checkpoint_every == 0:
+            ckpt.save(int(state.step), _host_state(state), infos,
+                      metrics=val_metrics)
+    ckpt.wait()
+    logger.close()
+    infos["final_step"] = int(state.step)
+    return infos
+
+
+def _host_params(state: TrainState):
+    """Fully-replicated host copy of the params (for eval/decode which is
+    compiled without mesh shardings)."""
+    return jax.tree_util.tree_map(lambda x: jax.device_put(jnp.asarray(x)),
+                                  state.params)
+
+
+def _host_state(state: TrainState) -> TrainState:
+    return jax.tree_util.tree_map(lambda x: jnp.asarray(x), state)

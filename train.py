@@ -1,0 +1,29 @@
+#!/usr/bin/env python
+"""Train the TPU-native cyclical grounded-captioning model.
+
+Mirrors the reference's public CLI (reference: `python main.py <flags>`
+with opts.py flag names; SURVEY.md L5/L6):
+
+    python train.py --dataset synthetic --batch_size 32 --max_epochs 10 \
+        --enable_cycle 1 --checkpoint_path save/exp1
+    python train.py --dataset flickr30k --feature_file feats.h5 \
+        --annotation_file ann.json --vocab_file vocab.json --mGPUs 8
+
+Resume:   --start_from save/exp1
+"""
+
+import json
+
+from cvc_tpu.config import config_from_args
+from cvc_tpu.training.loop import train
+
+
+def main(argv=None):
+    cfg = config_from_args(argv)
+    infos = train(cfg)
+    print(json.dumps({"done": True, **infos}))
+    return infos
+
+
+if __name__ == "__main__":
+    main()
