@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Headline benchmark: captions/sec/chip, beam=5, Flickr30k-shaped model.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Configuration mirrors BASELINE.json's headline metric: full-size decoder
+(rnn 1024 / emb 512 / att 512), 100 region proposals (padded to 128 slots
+for MXU tiling), vocab 8704, seq 20, batch 64, beam 5, generation entirely
+on device via the vectorized beam search.
+
+vs_baseline: the reference never published throughput (BASELINE.md), so
+the denominator is a documented engineering estimate of the reference's
+per-image Python beam loop on a contemporary GPU: ~150 captions/sec
+(batch 64, beam 5, V100-class — per-step host round-trips bound it far
+below kernel limits).  Replace with a measured number if the reference
+ever becomes runnable.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cvc_tpu.config import EvalConfig, ModelConfig
+from cvc_tpu.models import core
+from cvc_tpu.models.decoding import make_decoder
+
+REF_BASELINE_CAPS_PER_SEC = 150.0  # documented estimate; see module docstring
+
+BATCH = 64
+BEAM = 5
+SEQ = 20
+
+
+def flagship_config(**kw) -> ModelConfig:
+    base = dict(vocab_size=8704, input_encoding_size=512, rnn_size=1024,
+                att_hid_size=512, feat_dim=2048, num_regions=128,
+                num_frames=1, seq_length=SEQ, num_classes=512,
+                class_emb_dim=128, drop_prob_lm=0.5)
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def random_arrays(cfg: ModelConfig, batch: int, seed: int = 0) -> dict:
+    rng = np.random.default_rng(seed)
+    S = cfg.total_regions
+    return dict(
+        feats=jnp.asarray(rng.normal(size=(batch, S, cfg.feat_dim)),
+                          jnp.float32),
+        box_geom=jnp.asarray(rng.uniform(size=(batch, S, 5)), jnp.float32),
+        region_cls=jnp.asarray(
+            rng.integers(0, cfg.num_classes, size=(batch, S)), jnp.int32),
+        region_mask=jnp.asarray(
+            (np.arange(S)[None, :] < 100).astype(np.float32)
+            * np.ones((batch, 1), np.float32)),
+        tokens=jnp.zeros((batch, cfg.max_tokens), jnp.int32),
+        token_mask=jnp.ones((batch, cfg.max_tokens), jnp.float32),
+    )
+
+
+def main():
+    cfg = flagship_config(use_pallas="--pallas" in sys.argv,
+                          dtype="bfloat16" if "--bf16" in sys.argv
+                          else "float32")
+    params = core.init_params(jax.random.PRNGKey(0), cfg)
+    arrays = random_arrays(cfg, BATCH)
+    decoder = make_decoder(cfg, EvalConfig(beam_size=BEAM, max_length=SEQ,
+                                           sample_method="beam"))
+
+    out = decoder(params, arrays)          # compile + warmup
+    jax.block_until_ready(out["tokens"])
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = decoder(params, arrays)
+        jax.block_until_ready(out["tokens"])
+        times.append(time.perf_counter() - t0)
+    dt = min(times)
+    caps_per_sec = BATCH / dt
+
+    print(json.dumps({
+        "metric": "captions_per_sec_per_chip_beam5_flickr30k",
+        "value": round(caps_per_sec, 2),
+        "unit": "captions/s/chip",
+        "vs_baseline": round(caps_per_sec / REF_BASELINE_CAPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
