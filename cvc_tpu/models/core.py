@@ -175,18 +175,32 @@ def decoder_step(params, cfg, carry, inputs, v_enc, keys, region_mask,
     h_att, c_att, h_lang, c_lang = carry
     al, att, ll = params["att_lstm"], params["attention"], params["lang_lstm"]
     dtype = keys.dtype
+    use_pallas = getattr(cfg, "use_pallas", False)
+    if use_pallas:
+        from cvc_tpu.ops.dispatch import pallas_interpret
+        from cvc_tpu.ops.pallas import (fused_additive_attention,
+                                        fused_lstm_gates)
+        interp = pallas_interpret()
+        cell = lambda g, c: fused_lstm_gates(g, c, 8, interp)
+    else:
+        cell = lstm_cell
 
     w_hl, _, _ = _split_wx_att(al["wx"].astype(dtype), cfg.input_encoding_size, H)
     gates1 = (inputs["pre1"]
               + h_lang @ w_hl
               + h_att @ al["wh"].astype(dtype))
-    h_att, c_att = lstm_cell(gates1, c_att)
+    h_att, c_att = cell(gates1, c_att)
 
     if use_attention:
         q = h_att @ att["wh"].astype(dtype) + att["b"].astype(dtype)
-        logits = additive_attention_scores(keys, q, att["w"].astype(dtype))
-        alpha = masked_softmax(logits, region_mask)          # [B, S] f32
-        ctx = jnp.einsum("bs,bsh->bh", alpha.astype(dtype), v_enc)
+        if use_pallas:
+            ctx, alpha = fused_additive_attention(
+                keys, q, att["w"].astype(dtype), v_enc, region_mask,
+                8, interp)
+        else:
+            logits = additive_attention_scores(keys, q, att["w"].astype(dtype))
+            alpha = masked_softmax(logits, region_mask)      # [B, S] f32
+            ctx = jnp.einsum("bs,bsh->bh", alpha.astype(dtype), v_enc)
     else:
         ctx = inputs["ctx"]
         alpha = jnp.zeros(region_mask.shape, dtype=jnp.float32)
@@ -196,7 +210,7 @@ def decoder_step(params, cfg, carry, inputs, v_enc, keys, region_mask,
               + h_att @ wx2[H:]
               + h_lang @ ll["wh"].astype(dtype)
               + ll["b"].astype(dtype))
-    h_lang, c_lang = lstm_cell(gates2, c_lang)
+    h_lang, c_lang = cell(gates2, c_lang)
     return (h_att, c_att, h_lang, c_lang), (h_lang, alpha)
 
 

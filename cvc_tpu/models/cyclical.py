@@ -24,6 +24,20 @@ from cvc_tpu.models import core
 from cvc_tpu.ops.primitives import dropout, masked_xent
 
 
+def _xent(cfg, logits, targets, mask):
+    """Masked token XE; fused Pallas path when cfg.use_pallas."""
+    if getattr(cfg, "use_pallas", False):
+        from cvc_tpu.ops.dispatch import pallas_interpret
+        from cvc_tpu.ops.pallas import fused_masked_xent
+        B, L, V = logits.shape
+        total = fused_masked_xent(logits.reshape(B * L, V),
+                                  targets.reshape(B * L),
+                                  mask.reshape(B * L),
+                                  128, pallas_interpret())
+        return total / jnp.maximum(jnp.sum(mask), 1.0)
+    return masked_xent(logits, targets, mask)
+
+
 def _encode(params, cfg, arrays):
     return core.encode_regions(
         params, cfg, arrays["feats"], arrays["box_geom"],
@@ -62,7 +76,7 @@ def cyclical_loss(params, cfg, arrays, rng=None, train: bool = False,
     r_dec, r_loc = (jax.random.split(rng) if rng is not None else (None, None))
     logits_dec, alphas, _, (v_enc, keys, v_global) = decode_teacher_forced(
         params, cfg, arrays, r_dec, train)
-    loss_dec = masked_xent(logits_dec, targets, mask)
+    loss_dec = _xent(cfg, logits_dec, targets, mask)
 
     loss_rec = jnp.zeros((), jnp.float32)
     if enable_cycle:
@@ -79,7 +93,7 @@ def cyclical_loss(params, cfg, arrays, rng=None, train: bool = False,
         if train and r_loc is not None:
             h_rec = dropout(h_rec, cfg.drop_prob_lm, r_loc, deterministic=False)
         logits_rec = core.logits(params, h_rec)
-        loss_rec = masked_xent(logits_rec, targets, mask)
+        loss_rec = _xent(cfg, logits_rec, targets, mask)
 
     loss = loss_dec + cfg.cycle_weight * loss_rec
     metrics = {"loss": loss, "loss_decode": loss_dec, "loss_recon": loss_rec,
