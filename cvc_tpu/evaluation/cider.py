@@ -27,9 +27,14 @@ def _ngram_counts(sent: str, max_n: int = 4) -> Counter:
 
 
 class CiderD:
-    def __init__(self, max_n: int = 4, sigma: float = 6.0):
+    def __init__(self, max_n: int = 4, sigma: float = 6.0,
+                 corpus_df: tuple | None = None):
+        """corpus_df: optional (df_dict, log_num_images) computed once over
+        a training corpus via `document_frequency()` — the reference's SCST
+        reward precomputes df the same way (`misc/rewards.py` lineage)."""
         self.n = max_n
         self.sigma = sigma
+        self.corpus_df = corpus_df
 
     def compute_score(self, candidates: dict[str, str],
                       references: dict[str, list[str]]):
@@ -38,12 +43,15 @@ class CiderD:
         crefs = [[_ngram_counts(r, self.n) for r in references[i]] for i in ids]
         ctest = [_ngram_counts(candidates[i], self.n) for i in ids]
 
-        # document frequency: #images whose reference set contains the gram
-        df = defaultdict(float)
-        for refs in crefs:
-            for g in set(g for ref in refs for g in ref):
-                df[g] += 1.0
-        log_num_images = math.log(float(len(crefs)))
+        if self.corpus_df is not None:
+            df, log_num_images = self.corpus_df
+        else:
+            # document frequency: #images whose refs contain the gram
+            df = defaultdict(float)
+            for refs in crefs:
+                for g in set(g for ref in refs for g in ref):
+                    df[g] += 1.0
+            log_num_images = math.log(float(len(crefs)))
 
         def vectorize(cnts):
             vec = [defaultdict(float) for _ in range(self.n)]
@@ -82,3 +90,16 @@ class CiderD:
             per_image[img_id] = avg
         corpus = sum(per_image.values()) / max(len(per_image), 1)
         return corpus, per_image
+
+
+def document_frequency(reference_sets: list[list[str]], max_n: int = 4):
+    """Corpus document frequency for CiderD(corpus_df=...): one entry per
+    image's reference list (tokenized sentences)."""
+    df = defaultdict(float)
+    for refs in reference_sets:
+        grams = set()
+        for r in refs:
+            grams.update(_ngram_counts(r, max_n))
+        for g in grams:
+            df[g] += 1.0
+    return df, math.log(max(float(len(reference_sets)), 1.0))

@@ -1,0 +1,147 @@
+"""Self-critical sequence training (SCST) — the GVD-lineage RL fine-tuning
+stage (reference: `misc/rewards.py` RewardCriterion + CIDEr reward from
+the self-critical.pytorch lineage; SURVEY.md §2 'Loss/criteria').
+
+TPU-shaped split of the classic recipe:
+
+  device  (one jit):  temperature-sample a caption per image AND its
+                      greedy baseline in the same compiled program;
+  host:               CIDEr-D rewards (corpus-df TF-IDF) for both;
+                      advantage = r_sample - r_greedy;
+  device  (one jit):  policy-gradient step — teacher-force the SAMPLED
+                      tokens through the decoder to get their logprobs
+                      and minimize  -advantage * sum_t logp(w_t) * mask.
+
+The cyclical XE objective can be mixed in with `xe_weight` (reference
+practice: SCST after XE convergence, sometimes blended).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cvc_tpu.data.vocab import EOS_ID, PAD_ID
+from cvc_tpu.evaluation.cider import CiderD, document_frequency
+from cvc_tpu.evaluation.tokenizer import ptb_tokenize
+from cvc_tpu.models import core
+from cvc_tpu.models.cyclical import cyclical_loss
+from cvc_tpu.models.decoding import greedy_decode
+from cvc_tpu.training.train_state import TrainState
+
+
+def make_scst_sampler(model_cfg, max_len: int, temperature: float = 1.0):
+    """Jitted: (params, arrays, rng) -> dict(sample_tokens, greedy_tokens).
+    Both decodes share one compiled program."""
+
+    def fn(params, arrays, rng):
+        s = greedy_decode(params, model_cfg, arrays, max_len,
+                          temperature=temperature, rng=rng, sample=True)
+        g = greedy_decode(params, model_cfg, arrays, max_len, sample=False)
+        return {"sample_tokens": s["tokens"], "greedy_tokens": g["tokens"]}
+
+    return jax.jit(fn)
+
+
+def sample_mask(tokens: jnp.ndarray) -> jnp.ndarray:
+    """Supervision mask over a generated buffer: words + the first EOS."""
+    is_eos = tokens == EOS_ID
+    after_eos = jnp.cumsum(is_eos.astype(jnp.int32), axis=1) - is_eos.astype(jnp.int32)
+    return ((tokens != PAD_ID) & (after_eos == 0)).astype(jnp.float32)
+
+
+def make_scst_step(model_cfg, train_cfg, optimizer, xe_weight: float = 0.0):
+    """Jitted: (state, arrays, sample_tokens, advantage, rng) -> (state,
+    metrics).  Recomputes the sampled tokens' logprobs teacher-forced (no
+    gradient flows through the sampling itself — the REINFORCE estimator)."""
+
+    def step(state: TrainState, arrays, sample_tokens, advantage, rng):
+        B, L = sample_tokens.shape
+        dtype = jnp.bfloat16 if model_cfg.dtype == "bfloat16" else jnp.float32
+
+        def loss_fn(params):
+            v_enc, keys, v_global = core.encode_regions(
+                params, model_cfg, arrays["feats"], arrays["box_geom"],
+                arrays["region_cls"], arrays["region_mask"],
+                arrays.get("global_feat"))
+            # inputs: BOS + sampled[:-1]; targets: sampled tokens
+            bos = jnp.full((B, 1), 1, jnp.int32)
+            inputs = jnp.concatenate([bos, sample_tokens[:, :-1]], axis=1)
+            emb = core.embed_tokens(params, inputs, dtype)
+            h_seq, _, _ = core.decode(params, model_cfg, v_enc, keys,
+                                      v_global, emb, arrays["region_mask"])
+            logits = core.logits(params, h_seq)             # [B, L, V] f32
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            tok_lp = jnp.take_along_axis(
+                logp, sample_tokens[..., None].astype(jnp.int32),
+                axis=-1)[..., 0]                            # [B, L]
+            mask = sample_mask(sample_tokens)
+            pg = -jnp.sum(advantage[:, None] * tok_lp * mask) \
+                / jnp.maximum(jnp.sum(mask), 1.0)
+            metrics = {"loss_pg": pg,
+                       "advantage_mean": jnp.mean(advantage),
+                       "sample_len": jnp.mean(jnp.sum(mask, axis=1))}
+            loss = pg
+            if xe_weight > 0:
+                xe, m2 = cyclical_loss(params, model_cfg, arrays, rng=rng,
+                                       train=True, enable_cycle=True)
+                loss = loss + xe_weight * xe
+                metrics["loss_xe"] = xe
+            metrics["loss"] = loss
+            return loss, metrics
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u,
+                                        state.params, updates)
+        return (TrainState(params=params, opt_state=opt_state,
+                           step=state.step + 1), metrics)
+
+    return jax.jit(step, donate_argnums=(0,)
+                   if train_cfg.donate_state else ())
+
+
+class ScstRewarder:
+    """Host-side CIDEr-D reward with corpus document frequency (the
+    reference precomputes train-corpus df for its SCST reward)."""
+
+    def __init__(self, train_references: dict[str, list[str]]):
+        ref_sets = [[" ".join(ptb_tokenize(r)) for r in refs]
+                    for refs in train_references.values()]
+        self.scorer = CiderD(corpus_df=document_frequency(ref_sets))
+
+    def rewards(self, vocab, tokens: np.ndarray, image_ids: list[str],
+                references: dict[str, list[str]]) -> np.ndarray:
+        sents = vocab.decode_sequence(tokens)
+        cands = {f"c{i}": s for i, s in enumerate(sents)}
+        refs = {f"c{i}": [" ".join(ptb_tokenize(r))
+                          for r in references[image_ids[i]]]
+                for i in range(len(sents))}
+        cands = {k: " ".join(ptb_tokenize(v)) for k, v in cands.items()}
+        _, per = self.scorer.compute_score(cands, refs)
+        return np.asarray([per[f"c{i}"] for i in range(len(sents))],
+                          np.float32)
+
+
+def scst_train_batch(state, arrays, batch, ds, sampler, step_fn, rewarder,
+                     rng):
+    """One full SCST iteration (sample -> reward -> update) for a batch.
+    Returns (state, metrics)."""
+    out = sampler(state.params, arrays, rng)
+    sample_tokens = np.asarray(out["sample_tokens"])
+    greedy_tokens = np.asarray(out["greedy_tokens"])
+    image_ids = [ds.get(int(i)).image_id for i in batch.example_idx]
+    references = {ds.get(int(i)).image_id: ds.get(int(i)).captions
+                  for i in batch.example_idx}
+    r_s = rewarder.rewards(ds.vocab, sample_tokens, image_ids, references)
+    r_g = rewarder.rewards(ds.vocab, greedy_tokens, image_ids, references)
+    advantage = jnp.asarray((r_s - r_g) * np.asarray(batch.valid, np.float32))
+    state, metrics = step_fn(state, arrays, jnp.asarray(sample_tokens),
+                             advantage, rng)
+    metrics = dict(metrics)
+    metrics["reward_sample"] = float(r_s.mean())
+    metrics["reward_greedy"] = float(r_g.mean())
+    return state, metrics

@@ -1,0 +1,94 @@
+"""SCST: mask semantics, REINFORCE gradient direction, full
+sample->reward->update iteration on the synthetic world."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cvc_tpu.config import TrainConfig
+from cvc_tpu.data.pipeline import make_batches
+from cvc_tpu.data.synthetic import make_synthetic_dataset
+from cvc_tpu.models import core
+from cvc_tpu.training import TrainState, make_optimizer
+from cvc_tpu.training.scst import (ScstRewarder, make_scst_sampler,
+                                   make_scst_step, sample_mask,
+                                   scst_train_batch)
+from tests.conftest import random_batch, tiny_model_config
+
+
+def test_sample_mask_covers_words_and_first_eos():
+    toks = jnp.asarray(np.array([
+        [5, 6, 2, 0, 0],     # words, EOS, padding
+        [5, 6, 7, 8, 9],     # never ends
+        [2, 0, 0, 0, 0],     # immediate EOS
+    ], np.int32))
+    m = np.asarray(sample_mask(toks))
+    np.testing.assert_array_equal(m, [[1, 1, 1, 0, 0],
+                                      [1, 1, 1, 1, 1],
+                                      [1, 0, 0, 0, 0]])
+
+
+def test_pg_gradient_direction():
+    """Positive advantage must increase the sampled tokens' logprob;
+    negative must decrease it."""
+    cfg = tiny_model_config()
+    tc = TrainConfig(learning_rate=1e-2, grad_clip=0.0, donate_state=False)
+    params = core.init_params(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(tc, steps_per_epoch=10)
+    arrays = {k: jnp.asarray(v) for k, v in random_batch(cfg, 2, 0).items()}
+    rng = jax.random.PRNGKey(1)
+    sampler = make_scst_sampler(cfg, max_len=cfg.seq_length)
+    out = sampler(params, arrays, rng)
+    sample_tokens = out["sample_tokens"]
+
+    def mean_logp(params):
+        dtype = jnp.float32
+        v_enc, keys, v_global = core.encode_regions(
+            params, cfg, arrays["feats"], arrays["box_geom"],
+            arrays["region_cls"], arrays["region_mask"])
+        bos = jnp.full((2, 1), 1, jnp.int32)
+        inputs = jnp.concatenate([bos, sample_tokens[:, :-1]], axis=1)
+        emb = core.embed_tokens(params, inputs, dtype)
+        h, _, _ = core.decode(params, cfg, v_enc, keys, v_global, emb,
+                              arrays["region_mask"])
+        logp = jax.nn.log_softmax(core.logits(params, h), axis=-1)
+        tok = jnp.take_along_axis(logp, sample_tokens[..., None], -1)[..., 0]
+        m = sample_mask(sample_tokens)
+        return float(jnp.sum(tok * m) / jnp.sum(m))
+
+    for sign in (+1.0, -1.0):
+        state = TrainState.create(params, opt)
+        step = make_scst_step(cfg, tc, opt)
+        adv = jnp.full((2,), sign, jnp.float32)
+        before = mean_logp(state.params)
+        state, metrics = step(state, arrays, sample_tokens, adv, rng)
+        after = mean_logp(state.params)
+        if sign > 0:
+            assert after > before, "positive advantage should raise logprob"
+        else:
+            assert after < before, "negative advantage should lower logprob"
+        assert np.isfinite(float(metrics["loss_pg"]))
+
+
+def test_full_scst_iteration_runs():
+    cfg = tiny_model_config(feat_dim=32, num_regions=12, seq_length=10)
+    tc = TrainConfig(learning_rate=1e-3, grad_clip=1.0, donate_state=False)
+    ds = make_synthetic_dataset(num_images=8, num_regions=12, feat_dim=32,
+                                seq_length=10, split="train", seed=0)
+    cfg.vocab_size = ds.vocab.padded_size(128)
+    params = core.init_params(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(tc, steps_per_epoch=2)
+    state = TrainState.create(params, opt)
+    sampler = make_scst_sampler(cfg, max_len=cfg.seq_length)
+    step_fn = make_scst_step(cfg, tc, opt, xe_weight=0.1)
+    train_refs = {ds.get(i).image_id: ds.get(i).captions
+                  for i in range(len(ds))}
+    rewarder = ScstRewarder(train_refs)
+    rng = jax.random.PRNGKey(2)
+    for batch in make_batches(ds, cfg, 4, shuffle=False, prefetch=0):
+        arrays = {k: jnp.asarray(v) for k, v in batch.model_inputs().items()}
+        state, metrics = scst_train_batch(state, arrays, batch, ds, sampler,
+                                          step_fn, rewarder, rng)
+        assert np.isfinite(metrics["reward_sample"])
+        assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 2
