@@ -21,6 +21,7 @@ same purpose).
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from dataclasses import dataclass
@@ -87,36 +88,81 @@ def pad_regions(feats: np.ndarray, boxes: np.ndarray, classes: np.ndarray,
             out_c.reshape(S), out_m.reshape(S))
 
 
+_USE_NATIVE_DEFAULT = os.environ.get("CVC_NATIVE_PACK", "0") == "1"
+
+
 def _assemble(ds: CaptionDataset, pairs: list[tuple[int, int]],
-              model_cfg, batch_size: int) -> Batch:
+              model_cfg, batch_size: int,
+              use_native: bool | None = None) -> Batch:
+    # The C++ packer (native/pack.cc) wins on multi-core hosts; this
+    # sandbox is single-core, where numpy's one-memcpy path is already
+    # optimal — so native is opt-in via CVC_NATIVE_PACK=1.
+    if use_native is None:
+        use_native = _USE_NATIVE_DEFAULT
     S = model_cfg.num_frames * model_cfg.num_regions
     T = model_cfg.max_tokens
     D = model_cfg.feat_dim
     Dg = model_cfg.global_feat_dim
     B = batch_size
-    feats = np.zeros((B, S, D), dtype=np.float32)
-    geom = np.zeros((B, S, 5), dtype=np.float32)
-    cls = np.zeros((B, S), dtype=np.int32)
-    rmask = np.zeros((B, S), dtype=np.float32)
-    tokens = np.zeros((B, T), dtype=np.int32)
-    tmask = np.zeros((B, T), dtype=np.float32)
     gfeat = np.zeros((B, Dg), dtype=np.float32) if Dg else None
     eidx = np.zeros((B,), dtype=np.int32)
     cidx = np.zeros((B,), dtype=np.int32)
     valid = np.zeros((B,), dtype=np.float32)
 
-    for j, (ei, ci) in enumerate(pairs):
-        ex = ds.get(ei)
-        feats[j], geom[j], cls[j], rmask[j] = pad_regions(
-            ex.features, ex.boxes, ex.classes,
+    native_out = tok_out = None
+    if use_native and pairs:
+        # OpenMP C++ packer (native/pack.cc); numpy fallback below.
+        from cvc_tpu import native
+        from cvc_tpu.data.vocab import simple_tokenize, UNK_ID, BOS_ID, EOS_ID
+        examples = [ds.get(ei) for ei, _ in pairs]
+        native_out = native.pack_batch_native(
+            [(ex.features, ex.boxes, ex.classes) for ex in examples],
             model_cfg.num_frames, model_cfg.num_regions, D)
-        ids, n_sup = ds.vocab.encode(ex.captions[ci], model_cfg.seq_length)
-        tokens[j] = ids
-        tmask[j, 1:1 + n_sup] = 1.0
-        if gfeat is not None and ex.global_feat is not None:
-            g = ex.global_feat[:Dg]
-            gfeat[j, :g.shape[0]] = g
-        eidx[j], cidx[j], valid[j] = ei, ci, 1.0
+        if native_out is not None:
+            id_lists = [
+                [ds.vocab.wtoi.get(w, UNK_ID)
+                 for w in simple_tokenize(ds.get(ei).captions[ci])
+                 [: model_cfg.seq_length]]
+                for ei, ci in pairs]
+            tok_out = native.pack_tokens_native(
+                id_lists, model_cfg.seq_length, T, BOS_ID, EOS_ID, pad=0)
+
+    if native_out is not None and tok_out is not None:
+        nf, ng, nc, nm = native_out
+        feats = np.zeros((B, S, D), np.float32)
+        geom = np.zeros((B, S, 5), np.float32)
+        cls = np.zeros((B, S), np.int32)
+        rmask = np.zeros((B, S), np.float32)
+        tokens = np.zeros((B, T), np.int32)
+        tmask = np.zeros((B, T), np.float32)
+        n = len(pairs)
+        feats[:n], geom[:n], cls[:n], rmask[:n] = nf, ng, nc, nm
+        tokens[:n], tmask[:n] = tok_out
+        for j, (ei, ci) in enumerate(pairs):
+            ex = ds.get(ei)
+            if gfeat is not None and ex.global_feat is not None:
+                g = ex.global_feat[:Dg]
+                gfeat[j, :g.shape[0]] = g
+            eidx[j], cidx[j], valid[j] = ei, ci, 1.0
+    else:
+        feats = np.zeros((B, S, D), dtype=np.float32)
+        geom = np.zeros((B, S, 5), dtype=np.float32)
+        cls = np.zeros((B, S), dtype=np.int32)
+        rmask = np.zeros((B, S), dtype=np.float32)
+        tokens = np.zeros((B, T), dtype=np.int32)
+        tmask = np.zeros((B, T), dtype=np.float32)
+        for j, (ei, ci) in enumerate(pairs):
+            ex = ds.get(ei)
+            feats[j], geom[j], cls[j], rmask[j] = pad_regions(
+                ex.features, ex.boxes, ex.classes,
+                model_cfg.num_frames, model_cfg.num_regions, D)
+            ids, n_sup = ds.vocab.encode(ex.captions[ci], model_cfg.seq_length)
+            tokens[j] = ids
+            tmask[j, 1:1 + n_sup] = 1.0
+            if gfeat is not None and ex.global_feat is not None:
+                g = ex.global_feat[:Dg]
+                gfeat[j, :g.shape[0]] = g
+            eidx[j], cidx[j], valid[j] = ei, ci, 1.0
     # Pad a short final batch by repeating row 0 (marked invalid).
     for j in range(len(pairs), B):
         feats[j], geom[j], cls[j], rmask[j] = feats[0], geom[0], cls[0], rmask[0]
