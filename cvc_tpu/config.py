@@ -124,6 +124,10 @@ class EvalConfig:
     language_eval: bool = True
     grounding_eval: bool = True
     gt_sentence_mode: bool = False    # teacher-forced localization accuracy mode
+    grounding_source: str = "decoder"  # "decoder" (attention alpha at
+    #                                    generation) | "localizer" (beta of
+    #                                    the cycle's localizer on the
+    #                                    generated words)
 
 
 @dataclass

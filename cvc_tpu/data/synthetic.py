@@ -57,16 +57,24 @@ def make_synthetic_dataset(num_images: int = 256,
         obj_cls = rng.choice(num_classes, size=n_obj, replace=False)
         obj_boxes = _random_boxes(rng, n_obj)
         F = max(1, num_frames)
+        # Consistent world: every proposal's feature matches its detector
+        # class (distractors are real objects of OTHER classes), so the
+        # only region whose feature/class says `c` is the GT box for `c`
+        # — grounding is learnable from features, exactly as with real
+        # Faster R-CNN proposals.
+        other = np.setdiff1d(np.arange(num_classes), obj_cls)
+        classes = rng.choice(other, size=(F, num_regions)).astype(np.int32)
         feats = rng.normal(scale=0.5, size=(F, num_regions, feat_dim)).astype(np.float32)
+        feats += centers[classes]
         boxes = np.zeros((F, num_regions, 4), dtype=np.float32)
-        classes = rng.integers(0, num_classes, size=(F, num_regions)).astype(np.int32)
         for f in range(F):
             boxes[f] = _random_boxes(rng, num_regions)
             # First n_obj slots (shuffled) are true-object proposals.
             order = rng.permutation(num_regions)
             for k, c in enumerate(obj_cls):
                 slot = order[k]
-                feats[f, slot] += centers[c]
+                feats[f, slot] = (rng.normal(scale=0.5, size=feat_dim)
+                                  .astype(np.float32) + centers[c])
                 boxes[f, slot] = _jitter_box(rng, obj_boxes[k])
                 classes[f, slot] = c
 

@@ -20,6 +20,25 @@ from cvc_tpu.models.cyclical import decode_teacher_forced
 from cvc_tpu.models.decoding import make_decoder
 
 
+def _make_localizer_fn(model_cfg):
+    """Jitted: localizer β over the generated words (the cycle's trained
+    grounding head) — used when eval_cfg.grounding_source == 'localizer'."""
+    import jax
+    from cvc_tpu.models import core
+
+    @jax.jit
+    def fn(params, arrays, tokens):
+        v_enc, _, _ = core.encode_regions(
+            params, model_cfg, arrays["feats"], arrays["box_geom"],
+            arrays["region_cls"], arrays["region_mask"],
+            arrays.get("global_feat"))
+        beta, _ = core.localize(params, model_cfg, tokens, v_enc,
+                                arrays["region_mask"])
+        return beta
+
+    return fn
+
+
 def generate_split(params, model_cfg, eval_cfg, ds, batch_size: int,
                    rng=None):
     """Generate one caption per image.  Returns (predictions,
@@ -28,6 +47,9 @@ def generate_split(params, model_cfg, eval_cfg, ds, batch_size: int,
 
     decoder = make_decoder(model_cfg, eval_cfg)
     needs_rng = eval_cfg.sample_method == "sample"
+    use_localizer = getattr(eval_cfg, "grounding_source",
+                            "decoder") == "localizer"
+    localizer_fn = _make_localizer_fn(model_cfg) if use_localizer else None
     if rng is None:
         rng = jax.random.PRNGKey(0)
 
@@ -41,7 +63,11 @@ def generate_split(params, model_cfg, eval_cfg, ds, batch_size: int,
         else:
             out = decoder(params, arrays)
         tokens = np.asarray(out["tokens"])
-        alphas = np.asarray(out["alphas"])
+        if use_localizer:
+            alphas = np.asarray(localizer_fn(params, arrays,
+                                             jnp.asarray(tokens)))
+        else:
+            alphas = np.asarray(out["alphas"])
         sents = ds.vocab.decode_sequence(tokens)
         for i in range(len(sents)):
             if not batch.valid[i]:

@@ -64,6 +64,43 @@ def _vg_pre(params, cfg, v_global):
     return v_global @ w_vg + al["b"].astype(dtype)
 
 
+def _beam_step(params, cfg, carry, prev_word, v_enc, keys, region_mask,
+               vg_pre_k, B, K):
+    """Beam-folded autoregressive step that keeps the per-region tensors
+    UNduplicated: queries reshape to [B, K, A] and attend over the shared
+    keys [B, S, A] / v_enc [B, S, H] (the K-fold repeat of the region
+    tensors was the dominant HBM traffic of the naive formulation)."""
+    H, E = cfg.rnn_size, cfg.input_encoding_size
+    dtype = keys.dtype
+    h_att, c_att, h_lang, c_lang = carry                  # each [B*K, H]
+    al, att, ll = params["att_lstm"], params["attention"], params["lang_lstm"]
+
+    emb = core.embed_tokens(params, prev_word, dtype)     # [B*K, E]
+    w_hl, _, w_e = core._split_wx_att(al["wx"].astype(dtype), E, H)
+    gates1 = (emb @ w_e + vg_pre_k
+              + h_lang @ w_hl
+              + h_att @ al["wh"].astype(dtype))
+    h_att, c_att = core.lstm_cell(gates1, c_att)
+
+    q = (h_att @ att["wh"].astype(dtype)
+         + att["b"].astype(dtype)).reshape(B, K, -1)      # [B, K, A]
+    e = jnp.tanh(keys[:, None, :, :] + q[:, :, None, :])  # [B, K, S, A]
+    scores = jnp.einsum("bksa,a->bks", e, att["w"].astype(dtype))
+    from cvc_tpu.ops.primitives import masked_softmax
+    alpha = masked_softmax(scores, region_mask[:, None, :])   # [B,K,S] f32
+    ctx = jnp.einsum("bks,bsh->bkh", alpha.astype(dtype), v_enc)
+    ctx = ctx.reshape(B * K, -1)
+
+    wx2 = ll["wx"].astype(dtype)
+    gates2 = (ctx @ wx2[:H]
+              + h_att @ wx2[H:]
+              + h_lang @ ll["wh"].astype(dtype)
+              + ll["b"].astype(dtype))
+    h_lang, c_lang = core.lstm_cell(gates2, c_lang)
+    logits = core.logits(params, h_lang)                  # [B*K, V] f32
+    return (h_att, c_att, h_lang, c_lang), logits, alpha
+
+
 # ---------------------------------------------------------------------------
 # Greedy / sampling
 # ---------------------------------------------------------------------------
@@ -134,11 +171,9 @@ def beam_search(params, cfg, arrays, beam_size: int, max_len: int,
     v_enc, keys, v_global = _encode(params, cfg, arrays)
     vg_pre = _vg_pre(params, cfg, v_global)
     region_mask = arrays["region_mask"]
-
-    # Fold beams into batch: every per-region tensor repeats K times.
-    rep = lambda x: jnp.repeat(x, K, axis=0)            # [B*K, ...]
-    v_enc_k, keys_k, mask_k, vg_pre_k = map(rep, (v_enc, keys, region_mask,
-                                                  vg_pre))
+    # Only the [B, 4H] gate precompute folds into the beam dim; region
+    # tensors stay [B, S, ...] and are shared across beams (see _beam_step).
+    vg_pre_k = jnp.repeat(vg_pre, K, axis=0)            # [B*K, 4H]
 
     z = jnp.zeros((B * K, cfg.rnn_size), keys.dtype)
     init = dict(
@@ -152,11 +187,10 @@ def beam_search(params, cfg, arrays, beam_size: int, max_len: int,
     )
 
     def body(s, t):
-        carry, logits, alpha = _step_logits(
-            params, cfg, s["carry"], s["word"].reshape(B * K), v_enc_k,
-            keys_k, mask_k, vg_pre_k)
+        carry, logits, alpha = _beam_step(
+            params, cfg, s["carry"], s["word"].reshape(B * K), v_enc,
+            keys, region_mask, vg_pre_k, B, K)
         logp = jax.nn.log_softmax(logits).reshape(B, K, V)
-        alpha = alpha.reshape(B, K, S)
 
         # Finished beams: only PAD, at zero cost (score freezes).
         pad_only = jnp.full((V,), NEG_INF).at[PAD_ID].set(0.0)
@@ -167,9 +201,15 @@ def beam_search(params, cfg, arrays, beam_size: int, max_len: int,
         beam_live = (jnp.arange(K) == 0)[None, :, None]
         cand = jnp.where((t == 0) & ~beam_live, NEG_INF, cand)
 
-        top_lp, top_idx = jax.lax.top_k(cand.reshape(B, K * V), K)  # [B, K]
-        parent = top_idx // V
-        word = (top_idx % V).astype(jnp.int32)
+        # Two-stage selection: per-beam top-K over V, then top-K over the
+        # K*K survivors — equivalent to one top-K over K*V (any global
+        # winner is within its own beam's top K) at a fraction of the cost.
+        lp1, idx1 = jax.lax.top_k(cand.reshape(B * K, V), K)     # [B*K, K]
+        lp1 = lp1.reshape(B, K * K)
+        idx1 = idx1.reshape(B, K * K)
+        top_lp, pos = jax.lax.top_k(lp1, K)                      # [B, K]
+        parent = pos // K
+        word = jnp.take_along_axis(idx1, pos, axis=1).astype(jnp.int32)
 
         # Reorder all beam state by parent.
         def gather_k(x):                                  # [B, K, ...]

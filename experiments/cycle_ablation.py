@@ -53,9 +53,15 @@ def run(enable_cycle: bool, epochs: int, train_ds, val_ds, mc, seed=0):
                   f" ent={float(m['attention_entropy']):.3f}"
                   f" ({time.time()-t0:.0f}s)", flush=True)
     ec = EvalConfig(beam_size=3, sample_method="beam",
-                    max_length=mc.seq_length)
+                    max_length=mc.seq_length, grounding_source="decoder")
     res = evaluate_split(state.params, mc, ec, val_ds, 64)
     res.update(gt_sentence_attention_eval(state.params, mc, val_ds, 64))
+    ec_loc = EvalConfig(beam_size=3, sample_method="beam",
+                        max_length=mc.seq_length, language_eval=False,
+                        grounding_source="localizer")
+    loc = evaluate_split(state.params, mc, ec_loc, val_ds, 64)
+    res["F1_all_localizer"] = loc["F1_all"]
+    res["F1_loc_localizer"] = loc["F1_loc"]
     return {k: v for k, v in res.items() if isinstance(v, (int, float))}
 
 
