@@ -73,14 +73,17 @@ def main():
 
     out = decoder(params, arrays)          # compile + warmup
     jax.block_until_ready(out["tokens"])
-    times = []
-    for _ in range(5):
+    # Throughput measurement: submit a stream of batches and sync once —
+    # serving pipelines dispatch, so per-call blocking would understate.
+    N_ITERS = 10
+    best = float("inf")
+    for _ in range(3):
         t0 = time.perf_counter()
-        out = decoder(params, arrays)
+        for _ in range(N_ITERS):
+            out = decoder(params, arrays)
         jax.block_until_ready(out["tokens"])
-        times.append(time.perf_counter() - t0)
-    dt = min(times)
-    caps_per_sec = BATCH / dt
+        best = min(best, (time.perf_counter() - t0) / N_ITERS)
+    caps_per_sec = BATCH / best
 
     print(json.dumps({
         "metric": "captions_per_sec_per_chip_beam5_flickr30k",

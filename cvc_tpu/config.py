@@ -51,6 +51,9 @@ class ModelConfig:
     # Pallas kernel switches (jnp oracle always available; see cvc_tpu/ops/pallas/)
     use_pallas: bool = False
     dtype: str = "float32"            # compute dtype: "float32" | "bfloat16"
+    remat: bool = False               # jax.checkpoint the decode step
+    #                                   (recompute activations in bwd —
+    #                                   trades FLOPs for HBM at big batch)
 
     # Derived/static shapes.
     @property
@@ -97,6 +100,11 @@ class TrainConfig:
     learning_rate_decay_rate: float = 0.8
     max_epochs: int = 30              # reference: --max_epochs
     enable_cycle: bool = True         # cyclical decode->localize->reconstruct on/off
+    # Scheduled sampling (reference lineage: --scheduled_sampling_start etc.)
+    scheduled_sampling_start: int = -1        # epoch; -1 = off
+    scheduled_sampling_increase_every: int = 5
+    scheduled_sampling_increase_prob: float = 0.05
+    scheduled_sampling_max_prob: float = 0.25
     checkpoint_path: str = "save"     # reference: --checkpoint_path
     start_from: Optional[str] = None  # reference: --start_from (resume dir)
     save_checkpoint_every: int = 1    # epochs
@@ -192,6 +200,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--learning_rate_decay_rate", type=float, default=0.8)
     p.add_argument("--grad_clip", type=float, default=0.1)
     p.add_argument("--max_epochs", type=int, default=30)
+    p.add_argument("--scheduled_sampling_start", type=int, default=-1)
+    p.add_argument("--scheduled_sampling_increase_every", type=int, default=5)
+    p.add_argument("--scheduled_sampling_increase_prob", type=float,
+                   default=0.05)
+    p.add_argument("--scheduled_sampling_max_prob", type=float, default=0.25)
     p.add_argument("--seed", type=int, default=123)
     # Checkpointing / eval cadence.
     p.add_argument("--checkpoint_path", type=str, default="save")
@@ -258,6 +271,10 @@ def config_from_args(argv=None) -> Config:
     t.learning_rate_decay_rate = args.learning_rate_decay_rate
     t.grad_clip = args.grad_clip
     t.max_epochs = args.max_epochs
+    t.scheduled_sampling_start = args.scheduled_sampling_start
+    t.scheduled_sampling_increase_every = args.scheduled_sampling_increase_every
+    t.scheduled_sampling_increase_prob = args.scheduled_sampling_increase_prob
+    t.scheduled_sampling_max_prob = args.scheduled_sampling_max_prob
     t.enable_cycle = bool(args.enable_cycle)
     t.checkpoint_path = args.checkpoint_path
     t.start_from = args.start_from

@@ -56,6 +56,12 @@ def make_synthetic_dataset(num_images: int = 256,
         n_obj = int(rng.integers(2, 5))
         obj_cls = rng.choice(num_classes, size=n_obj, replace=False)
         obj_boxes = _random_boxes(rng, n_obj)
+        # Caption order is left-to-right by box position: recoverable from
+        # the image (geometry + attention), unlike a random order — this
+        # is what makes aligned attention *useful* to the decoder.
+        order_lr = np.argsort(obj_boxes[:, 0], kind="stable")
+        obj_cls = obj_cls[order_lr]
+        obj_boxes = obj_boxes[order_lr]
         F = max(1, num_frames)
         # Consistent world: every proposal's feature matches its detector
         # class (distractors are real objects of OTHER classes), so the

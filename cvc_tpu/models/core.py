@@ -256,11 +256,62 @@ def decode(params, cfg, v_enc, keys, v_global, emb_seq, region_mask,
     def body(carry, xs):
         return step(carry, {"pre1": xs[0], "ctx": xs[1]})
 
+    if getattr(cfg, "remat", False):
+        # recompute the step in the backward pass instead of saving its
+        # activations — the per-step [B,S,A] attention intermediates are
+        # the big residents at scale (SURVEY.md: remat knob)
+        body = jax.checkpoint(body)
+
     xs = (jnp.swapaxes(pre1, 0, 1), jnp.swapaxes(ctx_seq, 0, 1))  # [L, B, *]
     carry, (h_seq, alphas) = jax.lax.scan(body, init_carry, xs)
     return (jnp.swapaxes(h_seq, 0, 1),          # [B, L, H]
             jnp.swapaxes(alphas, 0, 1),         # [B, L, S]
             carry)
+
+
+def decode_scheduled_sampling(params, cfg, v_enc, keys, v_global, tokens_in,
+                              region_mask, ss_prob: float, rng):
+    """Teacher-forced decode with scheduled sampling (reference lineage:
+    self-critical.pytorch --scheduled_sampling_*): at each step the input
+    word is the GT token with prob 1-ss_prob, else a sample from the
+    previous step's softmax.  The sequential word dependency forces the
+    vocab projection inside the scan, so this path is slower than
+    `decode` — it is only used when ss_prob > 0.
+
+    tokens_in [B, L] — GT input tokens (BOS..w_{L-1}).
+    Returns (h_seq [B, L, H], alphas [B, L, S], final_carry).
+    """
+    B, L = tokens_in.shape
+    dtype = keys.dtype
+    init_carry = initial_state(B, cfg.rnn_size, dtype)
+    al = params["att_lstm"]
+    H, E = cfg.rnn_size, cfg.input_encoding_size
+    _, w_vg, w_e = _split_wx_att(al["wx"].astype(dtype), E, H)
+    vg_pre = v_global @ w_vg + al["b"].astype(dtype)
+
+    def body(state, xs):
+        carry, prev_word = state
+        gt_word, step_rng = xs
+        r_use, r_sample = jax.random.split(step_rng)
+        use_sampled = (jax.random.uniform(r_use, (B,)) < ss_prob) \
+            & (prev_word >= 0)
+        word = jnp.where(use_sampled, jnp.maximum(prev_word, 0), gt_word)
+        emb = embed_tokens(params, word, dtype)
+        pre1 = emb @ w_e + vg_pre
+        carry, (h_lang, alpha) = decoder_step(
+            params, cfg, carry, {"pre1": pre1,
+                                 "ctx": jnp.zeros((B, H), dtype)},
+            v_enc=v_enc, keys=keys, region_mask=region_mask,
+            use_attention=True)
+        step_logits = logits(params, h_lang)
+        sampled = jax.random.categorical(r_sample, step_logits).astype(jnp.int32)
+        return (carry, sampled), (h_lang, alpha)
+
+    rngs = jax.random.split(rng, L)
+    xs = (jnp.swapaxes(tokens_in, 0, 1), rngs)
+    (carry, _), (h_seq, alphas) = jax.lax.scan(
+        body, (init_carry, jnp.full((B,), -1, jnp.int32)), xs)
+    return jnp.swapaxes(h_seq, 0, 1), jnp.swapaxes(alphas, 0, 1), carry
 
 
 def logits(params, h_seq):

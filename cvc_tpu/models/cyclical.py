@@ -45,28 +45,38 @@ def _encode(params, cfg, arrays):
         arrays.get("global_feat"))
 
 
-def decode_teacher_forced(params, cfg, arrays, rng=None, train: bool = False):
+def decode_teacher_forced(params, cfg, arrays, rng=None, train: bool = False,
+                          ss_prob=None):
     """Teacher-forced decode pass.
 
     Returns (logits [B, L, V] f32, alphas [B, L, S], h_seq, enc) where
     L = max_tokens - 1 (inputs tokens[:, :-1], targets tokens[:, 1:]).
+    ss_prob: optional scheduled-sampling probability (traced scalar);
+    engages the slower in-scan-logits decode variant.
     """
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     v_enc, keys, v_global = _encode(params, cfg, arrays)
     tokens = arrays["tokens"]
-    emb_in = core.embed_tokens(params, tokens[:, :-1], dtype)
-    h_seq, alphas, _ = core.decode(params, cfg, v_enc, keys, v_global,
-                                   emb_in, arrays["region_mask"])
+    if ss_prob is not None and rng is not None:
+        rng, r_ss = jax.random.split(rng)
+        h_seq, alphas, _ = core.decode_scheduled_sampling(
+            params, cfg, v_enc, keys, v_global, tokens[:, :-1],
+            arrays["region_mask"], ss_prob, r_ss)
+    else:
+        emb_in = core.embed_tokens(params, tokens[:, :-1], dtype)
+        h_seq, alphas, _ = core.decode(params, cfg, v_enc, keys, v_global,
+                                       emb_in, arrays["region_mask"])
     if train and rng is not None:
         h_seq = dropout(h_seq, cfg.drop_prob_lm, rng, deterministic=False)
     return core.logits(params, h_seq), alphas, h_seq, (v_enc, keys, v_global)
 
 
 def cyclical_loss(params, cfg, arrays, rng=None, train: bool = False,
-                  enable_cycle: bool = True):
+                  enable_cycle: bool = True, ss_prob=None):
     """Total loss = XE(decode) + cycle_weight * XE(reconstruct).
 
     Returns (loss, metrics) with metrics = {loss, loss_decode, loss_recon}.
+    ss_prob: optional scheduled-sampling probability for the decode pass.
     """
     dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
     tokens, token_mask = arrays["tokens"], arrays["token_mask"]
@@ -75,7 +85,7 @@ def cyclical_loss(params, cfg, arrays, rng=None, train: bool = False,
 
     r_dec, r_loc = (jax.random.split(rng) if rng is not None else (None, None))
     logits_dec, alphas, _, (v_enc, keys, v_global) = decode_teacher_forced(
-        params, cfg, arrays, r_dec, train)
+        params, cfg, arrays, r_dec, train, ss_prob=ss_prob)
     loss_dec = _xent(cfg, logits_dec, targets, mask)
 
     loss_rec = jnp.zeros((), jnp.float32)

@@ -78,10 +78,20 @@ def train(cfg: Config, max_epochs: int | None = None,
     epochs = max_epochs if max_epochs is not None else t_cfg.max_epochs
     start_epoch = int(infos.get("epoch", 0))
 
+    use_ss = t_cfg.scheduled_sampling_start >= 0
     py_step = int(state.step)  # host-side mirror; avoids device syncs
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
         n_tokens = 0
+        ss_prob = None
+        if use_ss:
+            # reference annealing: +increase_prob every increase_every
+            # epochs after scheduled_sampling_start, capped at max_prob
+            frac = max(epoch - t_cfg.scheduled_sampling_start, 0) \
+                // max(t_cfg.scheduled_sampling_increase_every, 1)
+            ss_prob = jnp.asarray(
+                min(t_cfg.scheduled_sampling_increase_prob * frac,
+                    t_cfg.scheduled_sampling_max_prob), jnp.float32)
         for batch in make_batches(train_ds, m_cfg, cfg.data.batch_size,
                                   shuffle=cfg.data.shuffle,
                                   seed=cfg.data.seed + epoch,
@@ -89,7 +99,10 @@ def train(cfg: Config, max_epochs: int | None = None,
             arrays = batch.model_inputs()
             arrays = (shard_batch(mesh, arrays) if mesh is not None
                       else jax.device_put(arrays))
-            state, metrics = step_fn(state, arrays, rng)
+            if use_ss:
+                state, metrics = step_fn(state, arrays, rng, ss_prob)
+            else:
+                state, metrics = step_fn(state, arrays, rng)
             py_step += 1
             n_tokens += float(batch.token_mask.sum())
             if py_step % t_cfg.losses_log_every == 0:

@@ -63,13 +63,15 @@ def make_train_step(model_cfg, train_cfg, optimizer, mesh=None,
     metrics).  With `mesh`, shardings are pinned from `state` and
     `example_arrays` (GSPMD); without, a plain jit."""
     enable_cycle = train_cfg.enable_cycle
+    use_ss = train_cfg.scheduled_sampling_start >= 0
 
-    def train_step(state: TrainState, arrays: dict, rng):
+    def train_step(state: TrainState, arrays: dict, rng, ss_prob=None):
         rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(p):
             return cyclical_loss(p, model_cfg, arrays, rng=rng, train=True,
-                                 enable_cycle=enable_cycle)
+                                 enable_cycle=enable_cycle,
+                                 ss_prob=ss_prob if use_ss else None)
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
@@ -83,8 +85,13 @@ def make_train_step(model_cfg, train_cfg, optimizer, mesh=None,
         return new_state, metrics
 
     donate = (0,) if train_cfg.donate_state else ()
+    if not use_ss:
+        # keep the 3-arg signature for the common path
+        fast = lambda state, arrays, rng: train_step(state, arrays, rng)
+    else:
+        fast = train_step
     if mesh is None:
-        return jax.jit(train_step, donate_argnums=donate)
+        return jax.jit(fast, donate_argnums=donate)
 
     assert state is not None and example_arrays is not None
     sh = state_shardings(mesh, state)
@@ -92,7 +99,8 @@ def make_train_step(model_cfg, train_cfg, optimizer, mesh=None,
     rep = replicated(mesh)
     metric_sh = {k: rep for k in ("loss", "loss_decode", "loss_recon",
                                   "attention_entropy", "grad_norm")}
-    return jax.jit(train_step, in_shardings=(sh, bs, rep),
+    in_sh = (sh, bs, rep) + ((rep,) if use_ss else ())
+    return jax.jit(fast, in_shardings=in_sh,
                    out_shardings=(sh, metric_sh), donate_argnums=donate)
 
 
