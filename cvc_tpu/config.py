@@ -105,6 +105,9 @@ class TrainConfig:
     scheduled_sampling_increase_every: int = 5
     scheduled_sampling_increase_prob: float = 0.05
     scheduled_sampling_max_prob: float = 0.25
+    # SCST RL fine-tuning (reference lineage: --self_critical_after)
+    self_critical_after: int = -1             # epoch; -1 = off
+    scst_xe_weight: float = 0.0               # blend XE into the PG loss
     checkpoint_path: str = "save"     # reference: --checkpoint_path
     start_from: Optional[str] = None  # reference: --start_from (resume dir)
     save_checkpoint_every: int = 1    # epochs
@@ -205,6 +208,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scheduled_sampling_increase_prob", type=float,
                    default=0.05)
     p.add_argument("--scheduled_sampling_max_prob", type=float, default=0.25)
+    p.add_argument("--self_critical_after", type=int, default=-1)
+    p.add_argument("--scst_xe_weight", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=123)
     # Checkpointing / eval cadence.
     p.add_argument("--checkpoint_path", type=str, default="save")
@@ -275,6 +280,8 @@ def config_from_args(argv=None) -> Config:
     t.scheduled_sampling_increase_every = args.scheduled_sampling_increase_every
     t.scheduled_sampling_increase_prob = args.scheduled_sampling_increase_prob
     t.scheduled_sampling_max_prob = args.scheduled_sampling_max_prob
+    t.self_critical_after = args.self_critical_after
+    t.scst_xe_weight = args.scst_xe_weight
     t.enable_cycle = bool(args.enable_cycle)
     t.checkpoint_path = args.checkpoint_path
     t.start_from = args.start_from

@@ -79,6 +79,7 @@ def train(cfg: Config, max_epochs: int | None = None,
     start_epoch = int(infos.get("epoch", 0))
 
     use_ss = t_cfg.scheduled_sampling_start >= 0
+    scst = None  # built lazily at the first SCST epoch
     py_step = int(state.step)  # host-side mirror; avoids device syncs
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
@@ -92,6 +93,23 @@ def train(cfg: Config, max_epochs: int | None = None,
             ss_prob = jnp.asarray(
                 min(t_cfg.scheduled_sampling_increase_prob * frac,
                     t_cfg.scheduled_sampling_max_prob), jnp.float32)
+        use_scst = (t_cfg.self_critical_after >= 0
+                    and epoch >= t_cfg.self_critical_after)
+        if use_scst and scst is None:
+            # reference: switch to SCST after --self_critical_after epochs
+            from cvc_tpu.training.scst import (ScstRewarder,
+                                               make_scst_sampler,
+                                               make_scst_step,
+                                               scst_train_batch)
+            train_refs = {train_ds.get(i).image_id: train_ds.get(i).captions
+                          for i in range(len(train_ds))}
+            scst = {
+                "sampler": make_scst_sampler(m_cfg, m_cfg.seq_length),
+                "step": make_scst_step(m_cfg, t_cfg, optimizer,
+                                       xe_weight=t_cfg.scst_xe_weight),
+                "rewarder": ScstRewarder(train_refs),
+                "run": scst_train_batch,
+            }
         for batch in make_batches(train_ds, m_cfg, cfg.data.batch_size,
                                   shuffle=cfg.data.shuffle,
                                   seed=cfg.data.seed + epoch,
@@ -99,7 +117,12 @@ def train(cfg: Config, max_epochs: int | None = None,
             arrays = batch.model_inputs()
             arrays = (shard_batch(mesh, arrays) if mesh is not None
                       else jax.device_put(arrays))
-            if use_ss:
+            if use_scst:
+                rng, sub = jax.random.split(rng)
+                state, metrics = scst["run"](
+                    state, arrays, batch, train_ds, scst["sampler"],
+                    scst["step"], scst["rewarder"], sub)
+            elif use_ss:
                 state, metrics = step_fn(state, arrays, rng, ss_prob)
             else:
                 state, metrics = step_fn(state, arrays, rng)

@@ -72,3 +72,26 @@ def test_smoke_cycle_off(tmp_path):
     cfg.train.grounding_eval = False
     infos = train(cfg, max_epochs=1)
     assert infos["epoch"] == 1
+
+
+def test_smoke_scst_switch(tmp_path):
+    """XE epoch 0, then SCST from epoch 1 (--self_critical_after)."""
+    from cvc_tpu.training.loop import train
+    cfg = _config(tmp_path)
+    cfg.train.self_critical_after = 1
+    cfg.train.scst_xe_weight = 0.1
+    cfg.train.language_eval = False
+    cfg.train.grounding_eval = False
+    infos = train(cfg, max_epochs=2)
+    assert infos["epoch"] == 2
+
+
+def test_smoke_scheduled_sampling(tmp_path):
+    from cvc_tpu.training.loop import train
+    cfg = _config(tmp_path)
+    cfg.train.scheduled_sampling_start = 0
+    cfg.train.scheduled_sampling_increase_prob = 0.2
+    cfg.train.language_eval = False
+    cfg.train.grounding_eval = False
+    infos = train(cfg, max_epochs=1)
+    assert infos["epoch"] == 1
