@@ -107,16 +107,26 @@ def evaluate_split(params, model_cfg, eval_cfg, ds, batch_size: int,
     return results
 
 
-def gt_sentence_attention_eval(params, model_cfg, ds, batch_size: int) -> dict:
+def gt_sentence_attention_eval(params, model_cfg, ds, batch_size: int,
+                               source: str = "decoder") -> dict:
     """Teacher-forced localization accuracy: run the decode pass on GT
-    captions and check the decoder's attention at annotated word positions
-    (the reference's GT-sentence grounding mode)."""
+    captions and check the attention at annotated word positions (the
+    reference's GT-sentence grounding mode).  source='decoder' uses the
+    generation attention alpha; 'localizer' uses the cycle-trained beta
+    over the GT words."""
+    localizer_fn = _make_localizer_fn(model_cfg) if source == "localizer" \
+        else None
     samples = []
     for batch in make_batches(ds, model_cfg, batch_size, shuffle=False,
                               drop_last=False):
         arrays = {k: jnp.asarray(v) for k, v in batch.model_inputs().items()}
-        _, alphas, _, _ = decode_teacher_forced(params, model_cfg, arrays)
-        alphas = np.asarray(alphas)
+        if localizer_fn is not None:
+            # beta over the GT words w_1.. (positions align with word_idx)
+            alphas = np.asarray(localizer_fn(params, arrays,
+                                             arrays["tokens"][:, 1:]))
+        else:
+            _, alphas, _, _ = decode_teacher_forced(params, model_cfg, arrays)
+            alphas = np.asarray(alphas)
         for i in range(alphas.shape[0]):
             if not batch.valid[i]:
                 continue

@@ -28,7 +28,7 @@ jax.config.update("jax_default_matmul_precision", "highest")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
-from cvc_tpu.config import Config, ModelConfig  # noqa: E402
+from cvc_tpu.config import ModelConfig  # noqa: E402
 
 
 def tiny_model_config(**kw) -> ModelConfig:
