@@ -110,6 +110,9 @@ class TrainConfig:
     scst_xe_weight: float = 0.0               # blend XE into the PG loss
     checkpoint_path: str = "save"     # reference: --checkpoint_path
     start_from: Optional[str] = None  # reference: --start_from (resume dir)
+    auto_resume: bool = True          # resume from checkpoint_path if a
+    #                                   checkpoint exists (crash recovery;
+    #                                   reference required manual --start_from)
     save_checkpoint_every: int = 1    # epochs
     val_every_epoch: int = 1
     language_eval: bool = True        # reference: --language_eval

@@ -56,10 +56,15 @@ def train(cfg: Config, max_epochs: int | None = None,
 
     ckpt = CheckpointManager(t_cfg.checkpoint_path)
     infos = {"epoch": 0, "best_cider": -1.0, "best_step": -1}
-    if t_cfg.start_from:
-        resume = CheckpointManager(t_cfg.start_from)
+    resume_dir = t_cfg.start_from
+    if (resume_dir is None and getattr(t_cfg, "auto_resume", False)
+            and ckpt.latest_step() is not None):
+        resume_dir = t_cfg.checkpoint_path  # crash recovery: pick up
+    if resume_dir:
+        resume = (ckpt if resume_dir == t_cfg.checkpoint_path
+                  else CheckpointManager(resume_dir))
         state, infos = resume.restore(state)
-        print(f"resumed from {t_cfg.start_from} @ step {int(state.step)} "
+        print(f"resumed from {resume_dir} @ step {int(state.step)} "
               f"(epoch {infos.get('epoch', '?')})", flush=True)
     save_config(t_cfg.checkpoint_path, cfg)
 
