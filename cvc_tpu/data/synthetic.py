@@ -25,6 +25,12 @@ from cvc_tpu.data.datasets import CaptionDataset, Entity, Example
 from cvc_tpu.data.vocab import Vocabulary
 
 _FILLER = ["a", "the", "next", "to", "and", "near", "with", "beside"]
+# attribute words: visible ONLY in region features (not detector classes),
+# so predicting them requires attending to the right region — this is what
+# makes baseline attention *useful*, the precondition the cyclical method
+# amplifies (paper: real captions' local cues play this role).
+_COLORS = ["red", "blue", "green", "yellow", "black", "white", "pink",
+           "gray"]
 
 
 def _class_names(num_classes: int) -> list[str]:
@@ -49,19 +55,20 @@ def make_synthetic_dataset(num_images: int = 256,
     crng = np.random.default_rng(1234)
     centers = crng.normal(size=(num_classes, feat_dim)).astype(np.float32)
     centers *= 3.0 / np.linalg.norm(centers, axis=1, keepdims=True)
+    color_dirs = crng.normal(size=(len(_COLORS), feat_dim)).astype(np.float32)
+    color_dirs *= 3.0 / np.linalg.norm(color_dirs, axis=1, keepdims=True)
 
     examples: list[Example] = []
     all_captions: list[str] = []
     for i in range(num_images):
         n_obj = int(rng.integers(2, 5))
-        obj_cls = rng.choice(num_classes, size=n_obj, replace=False)
+        obj_cls = np.sort(rng.choice(num_classes, size=n_obj, replace=False))
+        # Caption order = ascending class id: recoverable from the class
+        # SET (global feature suffices), so word *order* is never the
+        # bottleneck; the attribute (color) words are what require
+        # attending to the right region.
         obj_boxes = _random_boxes(rng, n_obj)
-        # Caption order is left-to-right by box position: recoverable from
-        # the image (geometry + attention), unlike a random order — this
-        # is what makes aligned attention *useful* to the decoder.
-        order_lr = np.argsort(obj_boxes[:, 0], kind="stable")
-        obj_cls = obj_cls[order_lr]
-        obj_boxes = obj_boxes[order_lr]
+        obj_colors = rng.integers(0, len(_COLORS), size=n_obj)
         F = max(1, num_frames)
         # Consistent world: every proposal's feature matches its detector
         # class (distractors are real objects of OTHER classes), so the
@@ -75,19 +82,24 @@ def make_synthetic_dataset(num_images: int = 256,
         boxes = np.zeros((F, num_regions, 4), dtype=np.float32)
         for f in range(F):
             boxes[f] = _random_boxes(rng, num_regions)
+            # Distractors get their own colors too (consistent world).
+            feats[f] += color_dirs[rng.integers(0, len(_COLORS),
+                                                size=num_regions)]
             # First n_obj slots (shuffled) are true-object proposals.
             order = rng.permutation(num_regions)
             for k, c in enumerate(obj_cls):
                 slot = order[k]
                 feats[f, slot] = (rng.normal(scale=0.5, size=feat_dim)
-                                  .astype(np.float32) + centers[c])
+                                  .astype(np.float32) + centers[c]
+                                  + color_dirs[obj_colors[k]])
                 boxes[f, slot] = _jitter_box(rng, obj_boxes[k])
                 classes[f, slot] = c
 
-        # Caption: filler-delimited object words, in object order.
+        # Caption: "<filler> <color> <class>" per object, class-id order.
         words, entities = [], []
         for k, c in enumerate(obj_cls):
-            words.extend(rng.choice(_FILLER, size=2).tolist())
+            words.append(str(rng.choice(_FILLER)))
+            words.append(_COLORS[obj_colors[k]])
             entities.append((0, len(words), int(c), obj_boxes[k]))
             words.append(names[c])
         caption = " ".join(words[: seq_length])
@@ -109,9 +121,9 @@ def make_synthetic_dataset(num_images: int = 256,
             global_feat=gfeat,
         ))
 
-    # Deterministic vocab shared across splits: fillers + all class names.
+    # Deterministic vocab shared across splits: fillers + colors + classes.
     vocab = Vocabulary.build(
-        [" ".join(_FILLER), " ".join(names)], min_count=1)
+        [" ".join(_FILLER), " ".join(_COLORS), " ".join(names)], min_count=1)
     return CaptionDataset(examples, vocab, names)
 
 
