@@ -227,6 +227,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sample_method", type=str, default="beam",
                    choices=["beam", "greedy", "sample"])
     p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--length_penalty", type=float, default=0.0)
+    p.add_argument("--grounding_source", type=str, default="decoder",
+                   choices=["decoder", "localizer"])
     p.add_argument("--split", type=str, default="test")
     p.add_argument("--out_dir", type=str, default="eval_out")
     p.add_argument("--gt_sentence_mode", type=int, default=0)
@@ -300,6 +303,8 @@ def config_from_args(argv=None) -> Config:
     e.beam_size = args.beam_size
     e.sample_method = args.sample_method
     e.temperature = args.temperature
+    e.length_penalty = args.length_penalty
+    e.grounding_source = args.grounding_source
     e.split = args.split
     e.out_dir = args.out_dir
     e.max_length = args.seq_length

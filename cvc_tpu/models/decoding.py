@@ -84,11 +84,18 @@ def _beam_step(params, cfg, carry, prev_word, v_enc, keys, region_mask,
 
     q = (h_att @ att["wh"].astype(dtype)
          + att["b"].astype(dtype)).reshape(B, K, -1)      # [B, K, A]
-    e = jnp.tanh(keys[:, None, :, :] + q[:, :, None, :])  # [B, K, S, A]
-    scores = jnp.einsum("bksa,a->bks", e, att["w"].astype(dtype))
-    from cvc_tpu.ops.primitives import masked_softmax
-    alpha = masked_softmax(scores, region_mask[:, None, :])   # [B,K,S] f32
-    ctx = jnp.einsum("bks,bsh->bkh", alpha.astype(dtype), v_enc)
+    if getattr(cfg, "use_pallas", False):
+        from cvc_tpu.ops.dispatch import pallas_interpret
+        from cvc_tpu.ops.pallas.beam_attention import fused_beam_attention
+        ctx, alpha = fused_beam_attention(keys, q, att["w"].astype(dtype),
+                                          v_enc, region_mask, 4,
+                                          pallas_interpret())
+    else:
+        e = jnp.tanh(keys[:, None, :, :] + q[:, :, None, :])  # [B,K,S,A]
+        scores = jnp.einsum("bksa,a->bks", e, att["w"].astype(dtype))
+        from cvc_tpu.ops.primitives import masked_softmax
+        alpha = masked_softmax(scores, region_mask[:, None, :])  # [B,K,S]
+        ctx = jnp.einsum("bks,bsh->bkh", alpha.astype(dtype), v_enc)
     ctx = ctx.reshape(B * K, -1)
 
     wx2 = ll["wx"].astype(dtype)
