@@ -103,3 +103,52 @@ def document_frequency(reference_sets: list[list[str]], max_n: int = 4):
         for g in grams:
             df[g] += 1.0
     return df, math.log(max(float(len(reference_sets)), 1.0))
+
+
+class CiderDFast:
+    """CiderD with the native C++ backend (native/cider.cc) when available
+    — identical math, parity-tested in tests/test_native.py — and the
+    pure-Python implementation above as fallback.  Used by the SCST
+    reward (per-train-batch scoring) and split evaluation.
+
+    corpus_refs: optional list of reference-sentence lists (one per
+    image, already tokenized strings) to precompute the document
+    frequency over a training corpus.
+    """
+
+    def __init__(self, max_n: int = 4, sigma: float = 6.0,
+                 corpus_refs: list | None = None):
+        from cvc_tpu import native
+        self.n = max_n
+        self.sigma = sigma
+        self._intern: dict[str, int] = {}
+        self._native = native.cider_available()
+        self._df_handle = None
+        self._py = None
+        if self._native:
+            if corpus_refs is not None:
+                ref_ids = [[self._ids(r) for r in refs]
+                           for refs in corpus_refs]
+                self._df_handle = native.NativeCiderDf(ref_ids)
+        else:
+            corpus_df = (document_frequency(corpus_refs, max_n)
+                         if corpus_refs is not None else None)
+            self._py = CiderD(max_n, sigma, corpus_df=corpus_df)
+
+    def _ids(self, sent: str) -> list[int]:
+        return [self._intern.setdefault(w, len(self._intern))
+                for w in sent.split()]
+
+    def compute_score(self, candidates: dict, references: dict):
+        if not self._native:
+            return self._py.compute_score(candidates, references)
+        from cvc_tpu import native
+        ids = list(candidates.keys())
+        cand_ids = [self._ids(candidates[i]) for i in ids]
+        ref_ids = [[self._ids(r) for r in references[i]] for i in ids]
+        scores = native.cider_score_native(cand_ids, ref_ids,
+                                           sigma=self.sigma, max_n=self.n,
+                                           df=self._df_handle)
+        per_image = {img: float(s) for img, s in zip(ids, scores)}
+        corpus = sum(per_image.values()) / max(len(per_image), 1)
+        return corpus, per_image

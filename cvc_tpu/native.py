@@ -18,12 +18,17 @@ import numpy as np
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "native")
 _LIB_PATH = os.path.join(_NATIVE_DIR, "libcvc_pack.so")
+_CIDER_PATH = os.path.join(_NATIVE_DIR, "libcvc_cider.so")
 _lock = threading.Lock()
 _lib = None
 _tried = False
+_cider_lib = None
+_cider_tried = False
 
 _FP = ctypes.POINTER(ctypes.c_float)
 _IP = ctypes.POINTER(ctypes.c_int32)
+_LP = ctypes.POINTER(ctypes.c_int64)
+_DP = ctypes.POINTER(ctypes.c_double)
 
 
 def _load():
@@ -133,3 +138,100 @@ def pack_tokens_native(id_lists, seq_length: int, max_tokens: int,
         _ptr(out_tokens, ctypes.c_int32), _ptr(out_mask, ctypes.c_float))
     del arrs
     return out_tokens, out_mask
+
+
+# ---------------------------------------------------------------------------
+# Native CIDEr-D scorer (native/cider.cc)
+# ---------------------------------------------------------------------------
+
+def _load_cider():
+    global _cider_lib, _cider_tried
+    with _lock:
+        if _cider_lib is not None or _cider_tried:
+            return _cider_lib
+        _cider_tried = True
+        try:
+            if not os.path.exists(_CIDER_PATH):
+                subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                               capture_output=True)
+            lib = ctypes.CDLL(_CIDER_PATH)
+            lib.cvc_cider_df_build.restype = ctypes.c_void_p
+            lib.cvc_cider_df_build.argtypes = [_IP, _LP, _LP,
+                                               ctypes.c_int32,
+                                               ctypes.c_int32]
+            lib.cvc_cider_df_free.argtypes = [ctypes.c_void_p]
+            lib.cvc_cider_score.argtypes = [
+                _IP, _LP, _IP, _LP, _LP, ctypes.c_int32, ctypes.c_int32,
+                ctypes.c_double, ctypes.c_void_p, _DP,
+            ]
+            lib.cvc_cider_version.restype = ctypes.c_int32
+            assert lib.cvc_cider_version() == 1
+            _cider_lib = lib
+        except Exception:
+            _cider_lib = None
+        return _cider_lib
+
+
+def cider_available() -> bool:
+    return _load_cider() is not None
+
+
+def _flatten_ids(seqs):
+    """list of id-lists -> (flat int32 array, offsets int64 [n+1])."""
+    off = np.zeros((len(seqs) + 1,), np.int64)
+    for i, s in enumerate(seqs):
+        off[i + 1] = off[i] + len(s)
+    flat = (np.concatenate([np.asarray(s, np.int32) for s in seqs])
+            if off[-1] else np.zeros((0,), np.int32))
+    return np.ascontiguousarray(flat), off
+
+
+def _flatten_ref_sets(ref_sets):
+    """list (per image) of list of id-lists -> (flat, ref_off, img_off)."""
+    all_refs = [r for refs in ref_sets for r in refs]
+    flat, ref_off = _flatten_ids(all_refs)
+    img_off = np.zeros((len(ref_sets) + 1,), np.int64)
+    for i, refs in enumerate(ref_sets):
+        img_off[i + 1] = img_off[i] + len(refs)
+    return flat, ref_off, img_off
+
+
+class NativeCiderDf:
+    """Owns a C++ corpus document-frequency table (SCST train-corpus DF)."""
+
+    def __init__(self, ref_sets_ids):
+        lib = _load_cider()
+        if lib is None:
+            raise RuntimeError("native cider unavailable")
+        flat, ref_off, img_off = _flatten_ref_sets(ref_sets_ids)
+        self._lib = lib
+        self._handle = lib.cvc_cider_df_build(
+            _ptr(flat, ctypes.c_int32), _ptr(ref_off, ctypes.c_int64),
+            _ptr(img_off, ctypes.c_int64), len(ref_sets_ids), 4)
+
+    def __del__(self):
+        try:
+            if getattr(self, "_handle", None):
+                self._lib.cvc_cider_df_free(self._handle)
+        except Exception:
+            pass
+
+
+def cider_score_native(cand_ids, ref_sets_ids, sigma: float = 6.0,
+                       max_n: int = 4, df: "NativeCiderDf | None" = None):
+    """cand_ids: per-image token-id list; ref_sets_ids: per-image list of
+    reference id lists.  Returns np.ndarray [n_images] of CIDEr-D*10
+    scores, or None if the native library is unavailable."""
+    lib = _load_cider()
+    if lib is None:
+        return None
+    n = len(cand_ids)
+    cflat, coff = _flatten_ids(cand_ids)
+    rflat, roff, imgoff = _flatten_ref_sets(ref_sets_ids)
+    out = np.empty((n,), np.float64)
+    lib.cvc_cider_score(
+        _ptr(cflat, ctypes.c_int32), _ptr(coff, ctypes.c_int64),
+        _ptr(rflat, ctypes.c_int32), _ptr(roff, ctypes.c_int64),
+        _ptr(imgoff, ctypes.c_int64), n, max_n, sigma,
+        df._handle if df is not None else None, out.ctypes.data_as(_DP))
+    return out

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from cvc_tpu.data.vocab import EOS_ID, PAD_ID
-from cvc_tpu.evaluation.cider import CiderD, document_frequency
+from cvc_tpu.evaluation.cider import CiderDFast
 from cvc_tpu.evaluation.tokenizer import ptb_tokenize
 from cvc_tpu.models import core
 from cvc_tpu.models.cyclical import cyclical_loss
@@ -111,7 +111,8 @@ class ScstRewarder:
     def __init__(self, train_references: dict[str, list[str]]):
         ref_sets = [[" ".join(ptb_tokenize(r)) for r in refs]
                     for refs in train_references.values()]
-        self.scorer = CiderD(corpus_df=document_frequency(ref_sets))
+        # native C++ scorer when available (this is a per-batch hot path)
+        self.scorer = CiderDFast(corpus_refs=ref_sets)
 
     def rewards(self, vocab, tokens: np.ndarray, image_ids: list[str],
                 references: dict[str, list[str]]) -> np.ndarray:

@@ -68,3 +68,71 @@ def test_native_large_batch_parity_and_timing():
     b_numpy = _assemble(ds, pairs, mc, 16, use_native=False)
     np.testing.assert_allclose(b_native.feats, b_numpy.feats)
     np.testing.assert_array_equal(b_native.tokens, b_numpy.tokens)
+
+
+# ---------------------------------------------------------------------------
+# Native CIDEr-D
+# ---------------------------------------------------------------------------
+
+def _random_corpus(n_images=30, seed=0):
+    import numpy as _np
+    rng = _np.random.default_rng(seed)
+    vocab = [f"w{i}" for i in range(40)]
+    def sent(lo=3, hi=12):
+        return " ".join(rng.choice(vocab, size=rng.integers(lo, hi)))
+    cands = {f"i{k}": sent() for k in range(n_images)}
+    refs = {f"i{k}": [sent() for _ in range(rng.integers(1, 4))]
+            for k in range(n_images)}
+    # some exact matches so the score range is exercised
+    for k in range(0, n_images, 5):
+        cands[f"i{k}"] = refs[f"i{k}"][0]
+    return cands, refs
+
+
+def test_native_cider_matches_python():
+    from cvc_tpu import native
+    if not native.cider_available():
+        pytest.skip("native cider unavailable")
+    from cvc_tpu.evaluation.cider import CiderD, CiderDFast
+    cands, refs = _random_corpus()
+    c_py, per_py = CiderD().compute_score(cands, refs)
+    fast = CiderDFast()
+    assert fast._native
+    c_nat, per_nat = fast.compute_score(cands, refs)
+    assert abs(c_py - c_nat) < 1e-9
+    for k in per_py:
+        assert abs(per_py[k] - per_nat[k]) < 1e-9, k
+
+
+def test_native_cider_corpus_df_matches_python():
+    from cvc_tpu import native
+    if not native.cider_available():
+        pytest.skip("native cider unavailable")
+    from cvc_tpu.evaluation.cider import (CiderD, CiderDFast,
+                                          document_frequency)
+    cands, refs = _random_corpus(seed=3)
+    corpus_refs = list(refs.values())
+    py = CiderD(corpus_df=document_frequency(corpus_refs))
+    c_py, per_py = py.compute_score(cands, refs)
+    fast = CiderDFast(corpus_refs=corpus_refs)
+    assert fast._native and fast._df_handle is not None
+    c_nat, per_nat = fast.compute_score(cands, refs)
+    assert abs(c_py - c_nat) < 1e-9
+    for k in per_py:
+        assert abs(per_py[k] - per_nat[k]) < 1e-9, k
+
+
+def test_native_cider_speed_informational():
+    from cvc_tpu import native
+    if not native.cider_available():
+        pytest.skip("native cider unavailable")
+    from cvc_tpu.evaluation.cider import CiderD, CiderDFast
+    cands, refs = _random_corpus(n_images=300, seed=7)
+    t0 = time.perf_counter()
+    CiderD().compute_score(cands, refs)
+    t_py = time.perf_counter() - t0
+    fast = CiderDFast()
+    t0 = time.perf_counter()
+    fast.compute_score(cands, refs)
+    t_nat = time.perf_counter() - t0
+    print(f"cider python={t_py*1e3:.1f}ms native={t_nat*1e3:.1f}ms")
