@@ -90,6 +90,14 @@ def init_params(rng, cfg) -> dict:
         kg = jax.random.fold_in(rng, 99)
         params["global_enc"] = {"w": glorot(kg, (cfg.global_feat_dim, H)),
                                 "b": jnp.zeros((H,))}
+    if cfg.num_frames > 1:
+        # learned temporal embedding per frame (ANet: regions from 10
+        # sampled frames share one attention pool; the reference's video
+        # loader carries temporal info — SURVEY.md §2 'ANet dataset')
+        kf = jax.random.fold_in(rng, 101)
+        params["frame_emb"] = {
+            "table": jax.random.uniform(kf, (cfg.num_frames, H),
+                                        minval=-0.05, maxval=0.05)}
     if cfg.obj_interact:
         kt = jax.random.fold_in(rng, 100)
         params["obj_interact"] = init_transformer_params(
@@ -125,6 +133,12 @@ def encode_regions(params, cfg, feats, box_geom, region_cls, region_mask,
     cls_e = jnp.take(re["cls_emb"], jnp.clip(region_cls, 0, cfg.num_classes - 1),
                      axis=0).astype(dtype)
     x = x + cls_e @ re["cls_w"].astype(dtype) + re["b"].astype(dtype)
+    if cfg.num_frames > 1 and "frame_emb" in params:
+        # slots are frame-major: [f0 r0..rN-1, f1 r0..rN-1, ...]
+        S = feats.shape[1]
+        frame_idx = (jnp.arange(S) // cfg.num_regions).astype(jnp.int32)
+        x = x + jnp.take(params["frame_emb"]["table"], frame_idx,
+                         axis=0).astype(dtype)[None, :, :]
     v_enc = jax.nn.relu(x) * region_mask[..., None].astype(dtype)
 
     if cfg.obj_interact and "obj_interact" in params:
