@@ -47,6 +47,10 @@ class ModelConfig:
     obj_interact_layers: int = 1
     obj_interact_heads: int = 4
     cycle_weight: float = 1.0         # lambda on the reconstruction XE (paper sets ~1)
+    attn_supervision_weight: float = 0.0  # >0: supervised grounding loss
+    #                                   -log alpha[gt_region] at annotated
+    #                                   words (the GVD-supervised baseline
+    #                                   the paper compares against)
     use_box_geometry: bool = True     # append normalized box geometry to region features
     # Pallas kernel switches (jnp oracle always available; see cvc_tpu/ops/pallas/)
     use_pallas: bool = False
@@ -197,6 +201,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="cyclical decode->localize->reconstruct training (the method)")
     p.add_argument("--cycle_weight", type=float, default=1.0)
     p.add_argument("--use_pallas", type=int, default=0)
+    p.add_argument("--attn_supervision_weight", type=float, default=0.0,
+                   help=">0 trains grounding with box supervision (the "
+                        "GVD-supervised baseline; the cyclical method "
+                        "itself never uses this)")
     p.add_argument("--dtype", type=str, default="float32",
                    choices=["float32", "bfloat16"])
     # Optimization.
@@ -270,6 +278,7 @@ def config_from_args(argv=None) -> Config:
     m.drop_prob_lm = args.drop_prob_lm
     m.obj_interact = bool(args.obj_interact)
     m.cycle_weight = args.cycle_weight
+    m.attn_supervision_weight = args.attn_supervision_weight
     m.use_pallas = bool(args.use_pallas)
     m.dtype = args.dtype
     if args.dataset == "anet" and args.num_frames == 1:

@@ -44,6 +44,9 @@ class Batch:
     example_idx: np.ndarray
     caption_idx: np.ndarray
     valid: np.ndarray
+    gt_region: Optional[np.ndarray] = None  # [B, T] region slot of the GT
+    #   box at annotated word positions (target-aligned), -1 elsewhere —
+    #   consumed only by the optional supervised-grounding loss
 
     def model_inputs(self) -> dict:
         """The device-bound arrays (everything the jitted step consumes)."""
@@ -52,7 +55,42 @@ class Batch:
                  tokens=self.tokens, token_mask=self.token_mask)
         if self.global_feat is not None:
             d["global_feat"] = self.global_feat
+        if self.gt_region is not None:
+            d["gt_region"] = self.gt_region
         return d
+
+
+def _np_iou_one(box: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+    """IoU of one box [4] vs many [S, 4] (host numpy)."""
+    lt = np.maximum(box[:2], boxes[:, :2])
+    rb = np.minimum(box[2:4], boxes[:, 2:4])
+    wh = np.clip(rb - lt, 0.0, None)
+    inter = wh[:, 0] * wh[:, 1]
+    a = max(box[2] - box[0], 0) * max(box[3] - box[1], 0)
+    b = (np.clip(boxes[:, 2] - boxes[:, 0], 0, None)
+         * np.clip(boxes[:, 3] - boxes[:, 1], 0, None))
+    union = a + b - inter
+    return np.where(union > 0, inter / np.maximum(union, 1e-9), 0.0)
+
+
+def _gt_region_row(ex, ci: int, geom: np.ndarray, rmask: np.ndarray,
+                   T: int, iou_thresh: float = 0.5) -> np.ndarray:
+    """Per-token GT region slot for the supervised-grounding loss: entity
+    word k sits at tokens index k+1 (BOS at 0); slot = argmax-IoU region
+    of the entity box (>= thresh), else -1."""
+    row = np.full((T,), -1, np.int32)
+    boxes = geom[:, :4]
+    for e in ex.entities:
+        if e.caption_idx != ci:
+            continue
+        t = e.word_idx + 1
+        if t >= T:
+            continue
+        ious = _np_iou_one(np.asarray(e.box, np.float32), boxes) * rmask
+        s = int(np.argmax(ious))
+        if ious[s] >= iou_thresh:
+            row[t] = s
+    return row
 
 
 def box_geometry(boxes: np.ndarray) -> np.ndarray:
@@ -93,7 +131,8 @@ _USE_NATIVE_DEFAULT = os.environ.get("CVC_NATIVE_PACK", "0") == "1"
 
 def _assemble(ds: CaptionDataset, pairs: list[tuple[int, int]],
               model_cfg, batch_size: int,
-              use_native: bool | None = None) -> Batch:
+              use_native: bool | None = None,
+              with_gt_region: bool = False) -> Batch:
     # The C++ packer (native/pack.cc) wins on multi-core hosts; this
     # sandbox is single-core, where numpy's one-memcpy path is already
     # optimal — so native is opt-in via CVC_NATIVE_PACK=1.
@@ -167,12 +206,19 @@ def _assemble(ds: CaptionDataset, pairs: list[tuple[int, int]],
     for j in range(len(pairs), B):
         feats[j], geom[j], cls[j], rmask[j] = feats[0], geom[0], cls[0], rmask[0]
         tokens[j], tmask[j] = tokens[0], tmask[0]
-    return Batch(feats, geom, cls, rmask, tokens, tmask, gfeat, eidx, cidx, valid)
+    gt_region = None
+    if with_gt_region:
+        gt_region = np.full((B, T), -1, np.int32)
+        for j, (ei, ci) in enumerate(pairs):
+            gt_region[j] = _gt_region_row(ds.get(ei), ci, geom[j], rmask[j], T)
+    return Batch(feats, geom, cls, rmask, tokens, tmask, gfeat, eidx, cidx,
+                 valid, gt_region)
 
 
 def make_batches(ds: CaptionDataset, model_cfg, batch_size: int,
                  shuffle: bool = True, seed: int = 0, drop_last: bool = True,
-                 prefetch: int = 2, unique_images: bool = False) -> Iterator[Batch]:
+                 prefetch: int = 2, unique_images: bool = False,
+                 with_gt_region: bool = False) -> Iterator[Batch]:
     """Yield fixed-shape Batches over all (example, caption) pairs.
 
     Like the reference DataLoader, iterates image-caption pairs (an image
@@ -195,7 +241,8 @@ def make_batches(ds: CaptionDataset, model_cfg, batch_size: int,
 
     if prefetch <= 0:
         for chunk in chunks:
-            yield _assemble(ds, chunk, model_cfg, batch_size)
+            yield _assemble(ds, chunk, model_cfg, batch_size,
+                            with_gt_region=with_gt_region)
         return
 
     q: queue.Queue = queue.Queue(maxsize=prefetch)
@@ -204,7 +251,8 @@ def make_batches(ds: CaptionDataset, model_cfg, batch_size: int,
     def worker():
         try:
             for chunk in chunks:
-                q.put(_assemble(ds, chunk, model_cfg, batch_size))
+                q.put(_assemble(ds, chunk, model_cfg, batch_size,
+                                with_gt_region=with_gt_region))
         finally:
             q.put(_SENTINEL)
 

@@ -108,6 +108,22 @@ def cyclical_loss(params, cfg, arrays, rng=None, train: bool = False,
     loss = loss_dec + cfg.cycle_weight * loss_rec
     metrics = {"loss": loss, "loss_decode": loss_dec, "loss_recon": loss_rec,
                "attention_entropy": _mean_attention_entropy(alphas, mask)}
+
+    w_sup = getattr(cfg, "attn_supervision_weight", 0.0)
+    if w_sup > 0 and "gt_region" in arrays:
+        # Supervised grounding (the GVD-supervised comparison row in the
+        # paper's tables): -log alpha[gt_slot] at annotated word steps.
+        # gt_region is token-aligned [B, T]; alpha step t targets
+        # tokens[t+1], so slice off the BOS column.
+        gt = arrays["gt_region"][:, 1:]                      # [B, L]
+        has = (gt >= 0).astype(jnp.float32) * mask
+        safe = jnp.maximum(gt, 0)
+        p = jnp.take_along_axis(alphas, safe[..., None], axis=-1)[..., 0]
+        nll = -jnp.log(jnp.clip(p, 1e-9, 1.0)) * has
+        loss_sup = jnp.sum(nll) / jnp.maximum(jnp.sum(has), 1.0)
+        loss = loss + w_sup * loss_sup
+        metrics["loss"] = loss
+        metrics["loss_attn_sup"] = loss_sup
     return loss, metrics
 
 

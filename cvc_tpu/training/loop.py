@@ -118,7 +118,9 @@ def train(cfg: Config, max_epochs: int | None = None,
         for batch in make_batches(train_ds, m_cfg, cfg.data.batch_size,
                                   shuffle=cfg.data.shuffle,
                                   seed=cfg.data.seed + epoch,
-                                  prefetch=cfg.data.prefetch):
+                                  prefetch=cfg.data.prefetch,
+                                  with_gt_region=(
+                                      m_cfg.attn_supervision_weight > 0)):
             arrays = batch.model_inputs()
             arrays = (shard_batch(mesh, arrays) if mesh is not None
                       else jax.device_put(arrays))

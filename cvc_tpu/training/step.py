@@ -97,11 +97,11 @@ def make_train_step(model_cfg, train_cfg, optimizer, mesh=None,
     sh = state_shardings(mesh, state)
     bs = batch_shardings(mesh, example_arrays)
     rep = replicated(mesh)
-    metric_sh = {k: rep for k in ("loss", "loss_decode", "loss_recon",
-                                  "attention_entropy", "grad_norm")}
     in_sh = (sh, bs, rep) + ((rep,) if use_ss else ())
+    # metrics are scalars — let GSPMD place them (key set varies with the
+    # optional supervised-grounding loss)
     return jax.jit(fast, in_shardings=in_sh,
-                   out_shardings=(sh, metric_sh), donate_argnums=donate)
+                   out_shardings=(sh, None), donate_argnums=donate)
 
 
 def make_eval_step(model_cfg, mesh=None, state=None, example_arrays=None):

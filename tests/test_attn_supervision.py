@@ -1,0 +1,84 @@
+"""Supervised-grounding mode: gt_region plumbing, loss term, and the
+upper-bound sanity — a few steps of box-supervised training must push
+teacher-forced attention accuracy far above chance (this also validates
+the grounding evaluation end-to-end with a known-good signal)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cvc_tpu.config import TrainConfig
+from cvc_tpu.data.pipeline import make_batches
+from cvc_tpu.data.synthetic import make_synthetic_dataset
+from cvc_tpu.evaluation.evaluator import gt_sentence_attention_eval
+from cvc_tpu.models import core
+from cvc_tpu.models.cyclical import cyclical_loss
+from cvc_tpu.training import TrainState, make_optimizer, make_train_step
+from tests.conftest import tiny_model_config
+
+
+def _world(n=32):
+    mc = tiny_model_config(feat_dim=32, num_regions=12, seq_length=12,
+                           attn_supervision_weight=1.0)
+    ds = make_synthetic_dataset(num_images=n, num_regions=12, feat_dim=32,
+                                seq_length=12, split="train", seed=0)
+    mc.vocab_size = ds.vocab.padded_size(128)
+    return mc, ds
+
+
+def test_gt_region_rows_point_at_entity_boxes():
+    mc, ds = _world(8)
+    batch = next(make_batches(ds, mc, 8, shuffle=False, prefetch=0,
+                              with_gt_region=True))
+    assert batch.gt_region is not None
+    found = 0
+    for j in range(8):
+        ex = ds.get(int(batch.example_idx[j]))
+        for e in ex.entities:
+            t = e.word_idx + 1
+            if t >= batch.gt_region.shape[1]:
+                continue
+            slot = batch.gt_region[j, t]
+            if slot >= 0:
+                found += 1
+                # the slot's box must overlap the entity box strongly
+                g = batch.box_geom[j, slot, :4]
+                assert abs(g[0] - e.box[0]) < 0.1
+    assert found > 0
+
+
+def test_supervision_loss_term_and_gradient():
+    mc, ds = _world(8)
+    batch = next(make_batches(ds, mc, 8, shuffle=False, prefetch=0,
+                              with_gt_region=True))
+    arrays = {k: jnp.asarray(v) for k, v in batch.model_inputs().items()}
+    params = core.init_params(jax.random.PRNGKey(0), mc)
+    loss, m = cyclical_loss(params, mc, arrays, enable_cycle=False)
+    assert "loss_attn_sup" in m and float(m["loss_attn_sup"]) > 0
+    # attention params must receive gradient from the supervision term
+    g = jax.grad(lambda p: cyclical_loss(p, mc, arrays,
+                                         enable_cycle=False)[0])(params)
+    assert float(jnp.abs(g["attention"]["wv"]).max()) > 0
+
+
+def test_supervised_training_aligns_attention():
+    mc, ds = _world(32)
+    tc = TrainConfig(learning_rate=5e-3, grad_clip=5.0, donate_state=False,
+                     enable_cycle=False)
+    params = core.init_params(jax.random.PRNGKey(0), mc)
+    opt = make_optimizer(tc, steps_per_epoch=100)
+    state = TrainState.create(params, opt)
+    step = make_train_step(mc, tc, opt)
+    rng = jax.random.PRNGKey(1)
+    before = gt_sentence_attention_eval(state.params, mc, ds, 16)
+    for epoch in range(15):
+        for b in make_batches(ds, mc, 16, shuffle=True, seed=epoch,
+                              prefetch=0, with_gt_region=True):
+            arrays = {k: jnp.asarray(v) for k, v in b.model_inputs().items()}
+            state, m = step(state, arrays, rng)
+    after = gt_sentence_attention_eval(state.params, mc, ds, 16)
+    # chance is ~1/12 (~0.08); 15 short epochs reach ~0.33 — assert the
+    # alignment is unambiguous and still climbing (full convergence is
+    # exercised on TPU in experiments/, not in this CPU unit test)
+    assert after["attn_accuracy"] > 0.25, (before, after)
+    assert after["attn_accuracy"] > before["attn_accuracy"] + 0.15
