@@ -104,6 +104,8 @@ class TrainConfig:
     learning_rate_decay_rate: float = 0.8
     max_epochs: int = 30              # reference: --max_epochs
     enable_cycle: bool = True         # cyclical decode->localize->reconstruct on/off
+    cycle_after: int = 0              # enable the cycle only from this epoch
+    #                                   (decoder pretraining stage)
     # Scheduled sampling (reference lineage: --scheduled_sampling_start etc.)
     scheduled_sampling_start: int = -1        # epoch; -1 = off
     scheduled_sampling_increase_every: int = 5
@@ -200,6 +202,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--enable_cycle", type=int, default=1,
                    help="cyclical decode->localize->reconstruct training (the method)")
     p.add_argument("--cycle_weight", type=float, default=1.0)
+    p.add_argument("--cycle_after", type=int, default=0)
     p.add_argument("--use_pallas", type=int, default=0)
     p.add_argument("--attn_supervision_weight", type=float, default=0.0,
                    help=">0 trains grounding with box supervision (the "
@@ -298,6 +301,7 @@ def config_from_args(argv=None) -> Config:
     t.self_critical_after = args.self_critical_after
     t.scst_xe_weight = args.scst_xe_weight
     t.enable_cycle = bool(args.enable_cycle)
+    t.cycle_after = args.cycle_after
     t.checkpoint_path = args.checkpoint_path
     t.start_from = args.start_from
     t.save_checkpoint_every = args.save_checkpoint_every

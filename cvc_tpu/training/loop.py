@@ -71,12 +71,27 @@ def train(cfg: Config, max_epochs: int | None = None,
     example = None
     if mesh is not None:
         for b in make_batches(train_ds, m_cfg, cfg.data.batch_size,
-                              prefetch=0):
+                              prefetch=0,
+                              with_gt_region=(
+                                  m_cfg.attn_supervision_weight > 0)):
             example = b.model_inputs()
             break
         state = jax.device_put(state, state_shardings(mesh, state))
-    step_fn = make_train_step(m_cfg, t_cfg, optimizer, mesh=mesh,
-                              state=state, example_arrays=example)
+
+    from dataclasses import replace as _dc_replace
+    step_fns = {}
+
+    def get_step_fn(cycle_on: bool):
+        """Two compiled variants when --cycle_after stages the training
+        (decoder pretraining, then the full cycle)."""
+        if cycle_on not in step_fns:
+            tc = _dc_replace(t_cfg, enable_cycle=cycle_on)
+            step_fns[cycle_on] = make_train_step(
+                m_cfg, tc, optimizer, mesh=mesh, state=state,
+                example_arrays=example)
+        return step_fns[cycle_on]
+
+    step_fn = get_step_fn(t_cfg.enable_cycle and t_cfg.cycle_after <= 0)
 
     logger = MetricLogger(log_dir or f"{t_cfg.checkpoint_path}/logs")
     rng = jax.random.PRNGKey(t_cfg.seed + 1)
@@ -98,6 +113,8 @@ def train(cfg: Config, max_epochs: int | None = None,
             ss_prob = jnp.asarray(
                 min(t_cfg.scheduled_sampling_increase_prob * frac,
                     t_cfg.scheduled_sampling_max_prob), jnp.float32)
+        step_fn = get_step_fn(t_cfg.enable_cycle
+                              and epoch >= t_cfg.cycle_after)
         use_scst = (t_cfg.self_critical_after >= 0
                     and epoch >= t_cfg.self_critical_after)
         if use_scst and scst is None:

@@ -86,6 +86,17 @@ def test_smoke_scst_switch(tmp_path):
     assert infos["epoch"] == 2
 
 
+def test_smoke_cycle_after_staging(tmp_path):
+    """Decoder-pretrain epoch 0, cycle from epoch 1 (--cycle_after)."""
+    from cvc_tpu.training.loop import train
+    cfg = _config(tmp_path)
+    cfg.train.cycle_after = 1
+    cfg.train.language_eval = False
+    cfg.train.grounding_eval = False
+    infos = train(cfg, max_epochs=2)
+    assert infos["epoch"] == 2
+
+
 def test_smoke_scheduled_sampling(tmp_path):
     from cvc_tpu.training.loop import train
     cfg = _config(tmp_path)
