@@ -104,6 +104,37 @@ def make_train_step(model_cfg, train_cfg, optimizer, mesh=None,
                    out_shardings=(sh, None), donate_argnums=donate)
 
 
+def make_resident_train_step(model_cfg, train_cfg, optimizer):
+    """Train step over a device-resident dataset (see
+    cvc_tpu/data/device_data.py): step(state, data, idx, rng) gathers the
+    batch on device — the only per-step host->device transfer is the [B]
+    index vector (also the workaround for this sandbox's per-upload host
+    memory leak)."""
+    from cvc_tpu.data.device_data import gather_batch
+    enable_cycle = train_cfg.enable_cycle
+
+    def train_step(state: TrainState, data: dict, idx, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        arrays = gather_batch(data, idx)
+
+        def loss_fn(p):
+            return cyclical_loss(p, model_cfg, arrays, rng=rng, train=True,
+                                 enable_cycle=enable_cycle)
+
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u,
+                                        state.params, updates)
+        metrics["grad_norm"] = global_norm(grads)
+        return (TrainState(params=params, opt_state=opt_state,
+                           step=state.step + 1), metrics)
+
+    donate = (0,) if train_cfg.donate_state else ()
+    return jax.jit(train_step, donate_argnums=donate)
+
+
 def make_eval_step(model_cfg, mesh=None, state=None, example_arrays=None):
     """Jitted validation loss (no dropout, no update):
     eval_step(params, arrays) -> metrics."""

@@ -14,12 +14,13 @@ import jax
 import jax.numpy as jnp
 
 from cvc_tpu.config import EvalConfig, ModelConfig, TrainConfig
-from cvc_tpu.data.pipeline import make_batches
+from cvc_tpu.data.device_data import DeviceDataset
 from cvc_tpu.data.synthetic import make_synthetic_dataset
 from cvc_tpu.evaluation.evaluator import (evaluate_split,
                                           gt_sentence_attention_eval)
 from cvc_tpu.models import core
-from cvc_tpu.training import TrainState, make_optimizer, make_train_step
+from cvc_tpu.training import TrainState, make_optimizer
+from cvc_tpu.training.step import make_resident_train_step
 
 
 def main(epochs=100, images=12000):
@@ -35,6 +36,9 @@ def main(epochs=100, images=12000):
                                     feat_dim=512, seq_length=16,
                                     split="val", seed=0)
     mc.vocab_size = train_ds.vocab.padded_size(128)
+    dd = DeviceDataset(train_ds, mc)   # ONE upload; fixes the per-batch
+    print(f"device dataset: {dd.nbytes()/1e9:.2f} GB, {dd.num_pairs} pairs",
+          flush=True)                  # host-leak OOM and speeds epochs
 
     def run(enable_cycle):
         tc = TrainConfig(learning_rate=1e-3, grad_clip=5.0,
@@ -45,16 +49,13 @@ def main(epochs=100, images=12000):
         opt = make_optimizer(tc, max(images // 64, 1))
         params = core.init_params(jax.random.PRNGKey(0), mc)
         state = TrainState.create(params, opt)
-        step = make_train_step(mc, tc, opt)
+        step = make_resident_train_step(mc, tc, opt)
         rng = jax.random.PRNGKey(1)
         tag = "cycle" if enable_cycle else "plain"
         t0 = time.time()
         for epoch in range(epochs):
-            for b in make_batches(train_ds, mc, 64, shuffle=True,
-                                  seed=epoch):
-                arrays = {k: jnp.asarray(v)
-                          for k, v in b.model_inputs().items()}
-                state, m = step(state, arrays, rng)
+            for idx in dd.epoch_batches(64, seed=epoch):
+                state, m = step(state, dd.data, jnp.asarray(idx), rng)
             if epoch % 10 == 9:
                 probe = gt_sentence_attention_eval(state.params, mc, val_ds,
                                                    64)
