@@ -81,6 +81,9 @@ class DataConfig:
     annotation_file: str = ""         # captions + entity boxes JSON
     vocab_file: str = ""              # word<->id dict JSON
     batch_size: int = 64              # reference: --batch_size
+    device_resident: bool = False     # keep the train set in HBM and gather
+    #                                   batches on device (one upload; see
+    #                                   cvc_tpu/data/device_data.py)
     shuffle: bool = True
     seed: int = 0
     prefetch: int = 2

@@ -80,6 +80,8 @@ class DeviceDataset:
         self.data = jax.device_put(data)   # ONE upload
         self.num_pairs = P
         self.pairs = pairs
+        # host-side stats (no device syncs needed for logging)
+        self.tokens_per_pair = pair_tmask.sum(axis=1)
 
     def nbytes(self) -> int:
         return sum(int(np.prod(v.shape)) * v.dtype.itemsize

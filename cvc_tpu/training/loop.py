@@ -93,6 +93,27 @@ def train(cfg: Config, max_epochs: int | None = None,
 
     step_fn = get_step_fn(t_cfg.enable_cycle and t_cfg.cycle_after <= 0)
 
+    # Device-resident feeding (HBM-sized datasets; also the workaround for
+    # this sandbox's per-upload host leak).  Streaming remains the path
+    # for SCST/scheduled-sampling/mesh runs.
+    resident = (cfg.data.device_resident and mesh is None
+                and t_cfg.scheduled_sampling_start < 0
+                and t_cfg.self_critical_after < 0)
+    dd = resident_steps = None
+    if resident:
+        from cvc_tpu.data.device_data import DeviceDataset
+        from cvc_tpu.training.step import make_resident_train_step
+        dd = DeviceDataset(train_ds, m_cfg,
+                           with_gt_region=m_cfg.attn_supervision_weight > 0)
+        resident_steps = {}
+
+        def get_resident_step(cycle_on: bool):
+            if cycle_on not in resident_steps:
+                tc = _dc_replace(t_cfg, enable_cycle=cycle_on)
+                resident_steps[cycle_on] = make_resident_train_step(
+                    m_cfg, tc, optimizer)
+            return resident_steps[cycle_on]
+
     logger = MetricLogger(log_dir or f"{t_cfg.checkpoint_path}/logs")
     rng = jax.random.PRNGKey(t_cfg.seed + 1)
     epochs = max_epochs if max_epochs is not None else t_cfg.max_epochs
@@ -132,28 +153,40 @@ def train(cfg: Config, max_epochs: int | None = None,
                 "rewarder": ScstRewarder(train_refs),
                 "run": scst_train_batch,
             }
-        for batch in make_batches(train_ds, m_cfg, cfg.data.batch_size,
-                                  shuffle=cfg.data.shuffle,
-                                  seed=cfg.data.seed + epoch,
-                                  prefetch=cfg.data.prefetch,
-                                  with_gt_region=(
-                                      m_cfg.attn_supervision_weight > 0)):
-            arrays = batch.model_inputs()
-            arrays = (shard_batch(mesh, arrays) if mesh is not None
-                      else jax.device_put(arrays))
-            if use_scst:
-                rng, sub = jax.random.split(rng)
-                state, metrics = scst["run"](
-                    state, arrays, batch, train_ds, scst["sampler"],
-                    scst["step"], scst["rewarder"], sub)
-            elif use_ss:
-                state, metrics = step_fn(state, arrays, rng, ss_prob)
-            else:
-                state, metrics = step_fn(state, arrays, rng)
-            py_step += 1
-            n_tokens += float(batch.token_mask.sum())
-            if py_step % t_cfg.losses_log_every == 0:
-                logger.log(py_step, metrics, prefix="train")
+        if resident:
+            r_step = get_resident_step(t_cfg.enable_cycle
+                                       and epoch >= t_cfg.cycle_after)
+            for idx in dd.epoch_batches(cfg.data.batch_size,
+                                        seed=cfg.data.seed + epoch):
+                state, metrics = r_step(state, dd.data, jnp.asarray(idx),
+                                        rng)
+                py_step += 1
+                n_tokens += float(dd.tokens_per_pair[idx].sum())
+                if py_step % t_cfg.losses_log_every == 0:
+                    logger.log(py_step, metrics, prefix="train")
+        else:
+            for batch in make_batches(train_ds, m_cfg, cfg.data.batch_size,
+                                      shuffle=cfg.data.shuffle,
+                                      seed=cfg.data.seed + epoch,
+                                      prefetch=cfg.data.prefetch,
+                                      with_gt_region=(
+                                          m_cfg.attn_supervision_weight > 0)):
+                arrays = batch.model_inputs()
+                arrays = (shard_batch(mesh, arrays) if mesh is not None
+                          else jax.device_put(arrays))
+                if use_scst:
+                    rng, sub = jax.random.split(rng)
+                    state, metrics = scst["run"](
+                        state, arrays, batch, train_ds, scst["sampler"],
+                        scst["step"], scst["rewarder"], sub)
+                elif use_ss:
+                    state, metrics = step_fn(state, arrays, rng, ss_prob)
+                else:
+                    state, metrics = step_fn(state, arrays, rng)
+                py_step += 1
+                n_tokens += float(batch.token_mask.sum())
+                if py_step % t_cfg.losses_log_every == 0:
+                    logger.log(py_step, metrics, prefix="train")
         jax.block_until_ready(state.params)
         dt = time.time() - t0
         logger.log(int(state.step),

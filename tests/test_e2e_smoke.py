@@ -97,6 +97,17 @@ def test_smoke_cycle_after_staging(tmp_path):
     assert infos["epoch"] == 2
 
 
+def test_smoke_device_resident(tmp_path):
+    """HBM-resident dataset path through the same training loop."""
+    from cvc_tpu.training.loop import train
+    cfg = _config(tmp_path)
+    cfg.data.device_resident = True
+    cfg.train.language_eval = False
+    cfg.train.grounding_eval = True
+    infos = train(cfg, max_epochs=2)
+    assert infos["epoch"] == 2
+
+
 def test_smoke_scheduled_sampling(tmp_path):
     from cvc_tpu.training.loop import train
     cfg = _config(tmp_path)
