@@ -22,3 +22,6 @@ Design (see SURVEY.md at the repo root):
 """
 
 __version__ = "0.1.0"
+
+from cvc_tpu.config import Config, ModelConfig, DataConfig, TrainConfig, EvalConfig  # noqa: E402,F401
+

@@ -188,8 +188,6 @@ def beam_search(params, cfg, arrays, beam_size: int, max_len: int,
         word=jnp.full((B, K), BOS_ID, jnp.int32),
         logprobs=jnp.zeros((B, K), jnp.float32),
         finished=jnp.zeros((B, K), jnp.bool_),
-        tokens=jnp.full((B, K, L), PAD_ID, jnp.int32),
-        alphas=jnp.zeros((B, K, L, S), jnp.float32),
         lengths=jnp.zeros((B, K), jnp.int32),
     )
 
@@ -218,43 +216,67 @@ def beam_search(params, cfg, arrays, beam_size: int, max_len: int,
         parent = pos // K
         word = jnp.take_along_axis(idx1, pos, axis=1).astype(jnp.int32)
 
-        # Reorder all beam state by parent.
-        def gather_k(x):                                  # [B, K, ...]
-            return jnp.take_along_axis(
-                x, parent.reshape(parent.shape + (1,) * (x.ndim - 2)), axis=1)
-
+        # Only the LSTM carries are physically reordered per step; token
+        # and attention histories are reconstructed once post-scan from
+        # backpointers (saves ~[B,K,L,S] of gather traffic per step).
         carry = tuple(
             jnp.take_along_axis(
                 c.reshape(B, K, -1), parent[..., None], axis=1
             ).reshape(B * K, -1)
             for c in carry)
-        tokens = gather_k(s["tokens"]).at[:, :, t].set(word)
-        alphas = gather_k(s["alphas"]).at[:, :, t].set(gather_k(alpha))
-        finished = gather_k(s["finished"][..., None])[..., 0]
-        lengths = gather_k(s["lengths"][..., None])[..., 0]
+
+        def gather_k(x):
+            return jnp.take_along_axis(x, parent, axis=1)
+
+        finished = gather_k(s["finished"])
+        lengths = gather_k(s["lengths"])
         lengths = jnp.where(finished, lengths, lengths + 1)
         finished = finished | (word == EOS_ID)
 
         return (dict(carry=carry, word=word, logprobs=top_lp,
-                     finished=finished, tokens=tokens, alphas=alphas,
-                     lengths=lengths),
-                None)
+                     finished=finished, lengths=lengths),
+                (word, parent, alpha))
 
-    s, _ = jax.lax.scan(body, init, jnp.arange(L))
+    s, (words_h, parents_h, alphas_h) = jax.lax.scan(body, init,
+                                                     jnp.arange(L))
+    # words_h [L,B,K], parents_h [L,B,K], alphas_h [L,B,K,S] — alphas_h[t]
+    # is indexed by the PRE-selection beam id (the parent at step t).
 
     scores = s["logprobs"]
     if length_penalty > 0:
         norm = jnp.power((5.0 + s["lengths"].astype(jnp.float32)) / 6.0,
                          length_penalty)
         scores = scores / norm
+
+    def backtrack(select):                       # select [B] final beam ids
+        """Walk backpointers from the final beam to step 0, emitting the
+        (word, alpha) trail in forward order."""
+        def back(beam, t):
+            w = jnp.take_along_axis(words_h[t], beam[:, None], axis=1)[:, 0]
+            par = jnp.take_along_axis(parents_h[t], beam[:, None],
+                                      axis=1)[:, 0]
+            a = jnp.take_along_axis(
+                alphas_h[t], par[:, None, None], axis=1)[:, 0]
+            return par, (w, a)
+        _, (w_rev, a_rev) = jax.lax.scan(back, select,
+                                         jnp.arange(L - 1, -1, -1))
+        return (jnp.flip(jnp.swapaxes(w_rev, 0, 1), axis=1),       # [B,L]
+                jnp.flip(jnp.swapaxes(a_rev, 0, 1), axis=1))       # [B,L,S]
+
     best = jnp.argmax(scores, axis=1)                            # [B]
-    take = lambda x: jnp.take_along_axis(
-        x, best.reshape((B,) + (1,) * (x.ndim - 1)), axis=1)[:, 0]
-    out = dict(tokens=take(s["tokens"]), alphas=take(s["alphas"]),
-               scores=take(scores))
+    tokens_b, alphas_b = backtrack(best)
+    take = lambda x: jnp.take_along_axis(x, best[:, None], axis=1)[:, 0]
+    out = dict(tokens=tokens_b, alphas=alphas_b, scores=take(scores))
     if return_all_beams:
-        out.update(all_tokens=s["tokens"], all_scores=scores,
-                   all_alphas=s["alphas"])
+        all_tokens = []
+        all_alphas = []
+        for k in range(K):
+            tk, ak = backtrack(jnp.full((B,), k, jnp.int32))
+            all_tokens.append(tk)
+            all_alphas.append(ak)
+        out.update(all_tokens=jnp.stack(all_tokens, axis=1),
+                   all_scores=scores,
+                   all_alphas=jnp.stack(all_alphas, axis=1))
     return out
 
 
