@@ -28,12 +28,13 @@ def _kernel(keys_ref, q_ref, w_ref, v_ref, mask_ref, ctx_ref, alpha_ref):
     q = q_ref[:]                          # [bB, K, A]
     w = w_ref[:]                          # [1, A]
     v = v_ref[:]                          # [bB, S, H]
-    mask = mask_ref[:]                    # [bB, S]
+    mask = mask_ref[:]                    # [bB, 1, S] (3-D: Mosaic requires
+    #                                       sublane-divisible 2-D blocks)
 
     e = jnp.tanh(keys[:, None, :, :] + q[:, :, None, :])   # [bB, K, S, A]
     scores = jnp.sum(e * w[0][None, None, None, :], axis=-1,
                      dtype=jnp.float32)                     # [bB, K, S]
-    m4 = (mask > 0)[:, None, :]
+    m4 = mask > 0                                           # [bB, 1, S]
     masked = jnp.where(m4, scores, NEG)
     mx = jnp.max(masked, axis=-1, keepdims=True)
     ex = jnp.exp(masked - mx) * m4
@@ -62,7 +63,7 @@ def fused_beam_attention(keys, q, w, v, mask, block_b: int = 4,
             pl.BlockSpec((1, A), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_b, S, H), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, S), lambda i: (i, 0),
+            pl.BlockSpec((block_b, 1, S), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -76,4 +77,4 @@ def fused_beam_attention(keys, q, w, v, mask, block_b: int = 4,
             jax.ShapeDtypeStruct((B, K, S), jnp.float32),
         ),
         interpret=interpret,
-    )(keys, q, w[None, :], v, mask)
+    )(keys, q, w[None, :], v, mask[:, None, :])
