@@ -52,6 +52,9 @@ class ModelConfig:
     #                                   words (the GVD-supervised baseline
     #                                   the paper compares against)
     use_box_geometry: bool = True     # append normalized box geometry to region features
+    use_global_feat: bool = True      # False: zero v_global (all object
+    #                                   information must flow through
+    #                                   attention; ablation/diagnostic knob)
     # Pallas kernel switches (jnp oracle always available; see cvc_tpu/ops/pallas/)
     use_pallas: bool = False
     dtype: str = "float32"            # compute dtype: "float32" | "bfloat16"

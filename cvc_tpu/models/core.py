@@ -146,7 +146,11 @@ def encode_regions(params, cfg, feats, box_geom, region_cls, region_mask,
 
     keys = v_enc @ params["attention"]["wv"].astype(dtype)
 
-    if global_feat is not None and "global_enc" in params:
+    if not getattr(cfg, "use_global_feat", True):
+        # diagnostic/ablation mode: starve the global pathway so object
+        # information can only reach the decoder through attention
+        v_global = jnp.zeros((feats.shape[0], cfg.rnn_size), dtype)
+    elif global_feat is not None and "global_enc" in params:
         ge = params["global_enc"]
         v_global = jax.nn.relu(global_feat.astype(dtype) @ ge["w"].astype(dtype)
                                + ge["b"].astype(dtype))

@@ -30,10 +30,13 @@ from cvc_tpu.training.step import make_resident_train_step
 
 
 def main(epochs=60, images=40000, batch=128):
-    mc = ModelConfig(vocab_size=128, input_encoding_size=64, rnn_size=128,
-                     att_hid_size=64, feat_dim=512, num_regions=36,
+    import os
+    starve_global = os.environ.get("CVC_ABLATION_NO_GLOBAL", "0") == "1"
+    mc = ModelConfig(vocab_size=128, input_encoding_size=64, rnn_size=192,
+                     att_hid_size=96, feat_dim=512, num_regions=36,
                      seq_length=16, num_classes=24, class_emb_dim=16,
-                     drop_prob_lm=0.4)
+                     drop_prob_lm=0.4, use_global_feat=not starve_global)
+    print("use_global_feat:", mc.use_global_feat, flush=True)
     print("building datasets...", flush=True)
     train_ds = make_synthetic_dataset(num_images=images, num_regions=36,
                                       feat_dim=512, seq_length=16,
