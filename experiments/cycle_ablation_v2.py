@@ -95,6 +95,12 @@ def main(epochs=60, images=40000, batch=128):
         loc = evaluate_split(state.params, mc, ec_loc, val_ds, 64)
         res["F1_all_localizer"] = loc["F1_all"]
         res["F1_loc_localizer"] = loc["F1_loc"]
+        # keep the arm's params for post-hoc diagnosis (e.g. "does the
+        # reconstruction loss actually depend on v̂?")
+        from cvc_tpu.training.checkpoint import CheckpointManager
+        ck = CheckpointManager(f"experiments/ckpt_{tag}")
+        ck.save(int(state.step), state, infos={"arm": tag})
+        ck.wait()
         return {k: v for k, v in res.items() if isinstance(v, (int, float))}
 
     print("== plain ==", flush=True)
