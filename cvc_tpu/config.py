@@ -47,6 +47,9 @@ class ModelConfig:
     obj_interact_layers: int = 1
     obj_interact_heads: int = 4
     cycle_weight: float = 1.0         # lambda on the reconstruction XE (paper sets ~1)
+    attention_entropy_weight: float = 0.0  # >0: penalize diffuse decoder
+    #                                   attention (breaks the uniform-mean
+    #                                   local optimum; see experiments/)
     attn_supervision_weight: float = 0.0  # >0: supervised grounding loss
     #                                   -log alpha[gt_region] at annotated
     #                                   words (the GVD-supervised baseline

@@ -106,8 +106,16 @@ def cyclical_loss(params, cfg, arrays, rng=None, train: bool = False,
         loss_rec = _xent(cfg, logits_rec, targets, mask)
 
     loss = loss_dec + cfg.cycle_weight * loss_rec
+    attn_ent = _mean_attention_entropy(alphas, mask)
+    w_ent = getattr(cfg, "attention_entropy_weight", 0.0)
+    if w_ent > 0:
+        # sharpness pressure on the decoder's region attention: diffuse
+        # (near-uniform) attention can reconstruct the global mean and
+        # sidestep alignment entirely — penalizing entropy removes that
+        # local optimum (experiments/README.md, v3 finding)
+        loss = loss + w_ent * attn_ent
     metrics = {"loss": loss, "loss_decode": loss_dec, "loss_recon": loss_rec,
-               "attention_entropy": _mean_attention_entropy(alphas, mask)}
+               "attention_entropy": attn_ent}
 
     w_sup = getattr(cfg, "attn_supervision_weight", 0.0)
     if w_sup > 0 and "gt_region" in arrays:
