@@ -265,13 +265,67 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _defaults_from_config(cfg: Config) -> dict:
+    """Flatten a Config into the CLI's arg-name namespace.
+
+    Used to re-seed argparse *defaults* when --config_json is given, so
+    the JSON supplies every mirrored value and only flags the user typed
+    explicitly override it (previously argparse defaults silently
+    clobbered the file).
+    """
+    m, d, t, e = cfg.model, cfg.data, cfg.train, cfg.eval
+    return dict(
+        dataset=d.dataset, feature_file=d.feature_file,
+        annotation_file=d.annotation_file, vocab_file=d.vocab_file,
+        batch_size=d.batch_size, seq_length=m.seq_length,
+        num_props=m.num_regions, num_frames=m.num_frames,
+        rnn_size=m.rnn_size, input_encoding_size=m.input_encoding_size,
+        att_hid_size=m.att_hid_size, drop_prob_lm=m.drop_prob_lm,
+        obj_interact=int(m.obj_interact), enable_cycle=int(t.enable_cycle),
+        cycle_weight=m.cycle_weight, cycle_after=t.cycle_after,
+        use_pallas=int(m.use_pallas),
+        attn_supervision_weight=m.attn_supervision_weight,
+        dtype=m.dtype,
+        learning_rate=t.learning_rate,
+        learning_rate_decay_start=t.learning_rate_decay_start,
+        learning_rate_decay_every=t.learning_rate_decay_every,
+        learning_rate_decay_rate=t.learning_rate_decay_rate,
+        grad_clip=t.grad_clip, max_epochs=t.max_epochs,
+        scheduled_sampling_start=t.scheduled_sampling_start,
+        scheduled_sampling_increase_every=t.scheduled_sampling_increase_every,
+        scheduled_sampling_increase_prob=t.scheduled_sampling_increase_prob,
+        scheduled_sampling_max_prob=t.scheduled_sampling_max_prob,
+        self_critical_after=t.self_critical_after,
+        scst_xe_weight=t.scst_xe_weight, seed=t.seed,
+        checkpoint_path=t.checkpoint_path, start_from=t.start_from,
+        save_checkpoint_every=t.save_checkpoint_every,
+        val_every_epoch=t.val_every_epoch,
+        language_eval=int(t.language_eval),
+        grounding_eval=int(t.grounding_eval),
+        losses_log_every=t.losses_log_every,
+        beam_size=e.beam_size, sample_method=e.sample_method,
+        temperature=e.temperature, length_penalty=e.length_penalty,
+        grounding_source=e.grounding_source, split=e.split,
+        out_dir=e.out_dir, gt_sentence_mode=int(e.gt_sentence_mode),
+        num_devices=t.num_devices, model_axis=t.model_axis, id=cfg.id,
+    )
+
+
 def config_from_args(argv=None) -> Config:
-    args = build_parser().parse_args(argv)
-    if args.config_json:
-        with open(args.config_json) as f:
+    # Two-phase parse: find --config_json first, then seed the full
+    # parser's defaults from it so explicit CLI flags (and only those)
+    # override the file.
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--config_json", type=str, default=None)
+    pre_args, _ = pre.parse_known_args(argv)
+    parser = build_parser()
+    if pre_args.config_json:
+        with open(pre_args.config_json) as f:
             cfg = Config.from_json(f.read())
+        parser.set_defaults(**_defaults_from_config(cfg))
     else:
         cfg = Config()
+    args = parser.parse_args(argv)
 
     m, d, t, e = cfg.model, cfg.data, cfg.train, cfg.eval
     d.dataset = args.dataset

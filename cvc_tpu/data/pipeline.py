@@ -218,12 +218,15 @@ def _assemble(ds: CaptionDataset, pairs: list[tuple[int, int]],
 def make_batches(ds: CaptionDataset, model_cfg, batch_size: int,
                  shuffle: bool = True, seed: int = 0, drop_last: bool = True,
                  prefetch: int = 2, unique_images: bool = False,
-                 with_gt_region: bool = False) -> Iterator[Batch]:
+                 with_gt_region: bool = False,
+                 num_workers: int = 1) -> Iterator[Batch]:
     """Yield fixed-shape Batches over all (example, caption) pairs.
 
     Like the reference DataLoader, iterates image-caption pairs (an image
     with 5 captions appears 5 times per epoch with different targets).
     `unique_images=True` yields each image once (generation/eval mode).
+    `num_workers > 1` assembles batches on that many host threads
+    (order-preserving; the reference's DataLoader worker processes).
     """
     if unique_images:
         pairs = [(ei, 0) for ei in range(len(ds))]
@@ -245,6 +248,12 @@ def make_batches(ds: CaptionDataset, model_cfg, batch_size: int,
                             with_gt_region=with_gt_region)
         return
 
+    if num_workers > 1:
+        yield from _parallel_batches(ds, chunks, model_cfg, batch_size,
+                                     with_gt_region, num_workers,
+                                     max(prefetch, num_workers))
+        return
+
     q: queue.Queue = queue.Queue(maxsize=prefetch)
     _SENTINEL = object()
 
@@ -263,6 +272,66 @@ def make_batches(ds: CaptionDataset, model_cfg, batch_size: int,
         if item is _SENTINEL:
             break
         yield item
+
+
+def _parallel_batches(ds, chunks, model_cfg, batch_size, with_gt_region,
+                      num_workers: int, max_pending: int) -> Iterator[Batch]:
+    """Order-preserving multi-threaded batch assembly: `num_workers`
+    threads race over the chunk list; batch i is yielded strictly in
+    order, and no worker runs more than `max_pending` batches ahead of
+    the consumer (bounds host memory)."""
+    cond = threading.Condition()
+    results: dict[int, Batch] = {}
+    errors: list[BaseException] = []
+    state = {"next_in": 0, "emitted": 0}
+    total = len(chunks)
+
+    def worker():
+        while True:
+            with cond:
+                if errors or state["next_in"] >= total:
+                    return
+                i = state["next_in"]
+                state["next_in"] += 1
+                while i - state["emitted"] >= max_pending and not errors:
+                    cond.wait()
+                if errors:
+                    return
+            try:
+                b = _assemble(ds, chunks[i], model_cfg, batch_size,
+                              with_gt_region=with_gt_region)
+            except BaseException as e:  # propagate to the consumer
+                with cond:
+                    errors.append(e)
+                    cond.notify_all()
+                return
+            with cond:
+                results[i] = b
+                cond.notify_all()
+
+    threads = [threading.Thread(target=worker, daemon=True)
+               for _ in range(num_workers)]
+    for t in threads:
+        t.start()
+    try:
+        for i in range(total):
+            with cond:
+                while i not in results and not errors:
+                    cond.wait()
+                if errors:
+                    raise errors[0]
+                b = results.pop(i)
+                state["emitted"] = i + 1
+                cond.notify_all()
+            yield b
+    finally:
+        with cond:
+            state["next_in"] = total  # stop idle workers
+            if not errors:
+                errors.append(GeneratorExit("consumer closed"))
+            cond.notify_all()
+        for t in threads:
+            t.join(timeout=5)
 
 
 def num_batches(ds: CaptionDataset, batch_size: int, drop_last: bool = True) -> int:

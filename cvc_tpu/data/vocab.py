@@ -97,15 +97,25 @@ class Vocabulary:
     def decode_sequence(self, ids: np.ndarray) -> list[str]:
         """Id matrix [B, L] -> list of sentences, stopping at EOS/PAD
         (reference: `misc/utils.py` decode_sequence)."""
-        out = []
+        return self.decode_sequence_with_pos(ids)[0]
+
+    def decode_sequence_with_pos(self, ids: np.ndarray
+                                 ) -> tuple[list[str], list[list[int]]]:
+        """Like decode_sequence, but also returns for every emitted word its
+        TIMESTEP index in the id buffer, so callers can align per-step
+        tensors (attention alphas) with the word list exactly even when
+        tokens are skipped mid-stream (e.g. a generated BOS)."""
+        sents, positions = [], []
         for row in np.asarray(ids):
-            words = []
-            for t in row:
+            words, pos = [], []
+            for j, t in enumerate(row):
                 t = int(t)
                 if t in (EOS_ID, PAD_ID):
                     break
                 if t == BOS_ID:
                     continue
                 words.append(self.itow[t] if 0 <= t < len(self.itow) else "<unk>")
-            out.append(" ".join(words))
-        return out
+                pos.append(j)
+            sents.append(" ".join(words))
+            positions.append(pos)
+        return sents, positions

@@ -20,11 +20,20 @@ from cvc_tpu.models.cyclical import decode_teacher_forced
 from cvc_tpu.models.decoding import make_decoder
 
 
+_LOCALIZER_CACHE: dict = {}
+
+
 def _make_localizer_fn(model_cfg):
     """Jitted: localizer β over the generated words (the cycle's trained
-    grounding head) — used when eval_cfg.grounding_source == 'localizer'."""
+    grounding head) — used when eval_cfg.grounding_source == 'localizer'.
+    Memoized like make_decoder (fresh jit per epoch = recompile)."""
+    import dataclasses
     import jax
     from cvc_tpu.models import core
+
+    key = repr(dataclasses.asdict(model_cfg))
+    if key in _LOCALIZER_CACHE:
+        return _LOCALIZER_CACHE[key]
 
     @jax.jit
     def fn(params, arrays, tokens):
@@ -36,6 +45,7 @@ def _make_localizer_fn(model_cfg):
                                 arrays["region_mask"])
         return beta
 
+    _LOCALIZER_CACHE[key] = fn
     return fn
 
 
@@ -68,7 +78,7 @@ def generate_split(params, model_cfg, eval_cfg, ds, batch_size: int,
                                              jnp.asarray(tokens)))
         else:
             alphas = np.asarray(out["alphas"])
-        sents = ds.vocab.decode_sequence(tokens)
+        sents, word_pos = ds.vocab.decode_sequence_with_pos(tokens)
         for i in range(len(sents)):
             if not batch.valid[i]:
                 continue
@@ -79,7 +89,11 @@ def generate_split(params, model_cfg, eval_cfg, ds, batch_size: int,
             references[ex.image_id] = list(ex.captions)
             samples.append({
                 "words": words,
-                "attn": alphas[i, :len(words)],
+                # exact word<->attention alignment: index alphas by each
+                # emitted word's timestep (a skipped token, e.g. generated
+                # BOS, must not shift subsequent rows)
+                "attn": alphas[i, np.asarray(word_pos[i], np.int32)]
+                if word_pos[i] else alphas[i, :0],
                 "boxes": np.asarray(batch.box_geom[i][:, :4]),
                 "gt": [{"class_id": e.class_id,
                         "box": np.asarray(e.box)} for e in ex.entities],

@@ -284,8 +284,25 @@ def beam_search(params, cfg, arrays, beam_size: int, max_len: int,
 # Jitted entry points
 # ---------------------------------------------------------------------------
 
+_DECODER_CACHE: dict = {}
+
+
 def make_decoder(cfg, eval_cfg):
-    """Build the jitted generation function per EvalConfig.sample_method."""
+    """Build the jitted generation function per EvalConfig.sample_method.
+
+    Memoized on the (model cfg, eval cfg) values: validation calls this
+    every epoch, and a fresh `jax.jit` closure per call would recompile
+    the whole beam search each time."""
+    import dataclasses
+    key = (repr(dataclasses.asdict(cfg)), repr(dataclasses.asdict(eval_cfg)))
+    if key in _DECODER_CACHE:
+        return _DECODER_CACHE[key]
+    fn = _make_decoder_uncached(cfg, eval_cfg)
+    _DECODER_CACHE[key] = fn
+    return fn
+
+
+def _make_decoder_uncached(cfg, eval_cfg):
     if eval_cfg.sample_method == "beam" and eval_cfg.beam_size > 1:
         fn = partial(beam_search, cfg=cfg, beam_size=eval_cfg.beam_size,
                      max_len=eval_cfg.max_length,

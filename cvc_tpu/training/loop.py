@@ -138,20 +138,27 @@ def train(cfg: Config, max_epochs: int | None = None,
                               and epoch >= t_cfg.cycle_after)
         use_scst = (t_cfg.self_critical_after >= 0
                     and epoch >= t_cfg.self_critical_after)
-        if use_scst and scst is None:
-            # reference: switch to SCST after --self_critical_after epochs
+        cycle_on = t_cfg.enable_cycle and epoch >= t_cfg.cycle_after
+        if use_scst and (scst is None or scst["cycle_on"] != cycle_on):
+            # reference: switch to SCST after --self_critical_after epochs.
+            # The XE blend follows the same --cycle_after staging as the
+            # XE loop; rebuilt if the stage flips mid-SCST (rare).
             from cvc_tpu.training.scst import (ScstRewarder,
                                                make_scst_sampler,
                                                make_scst_step,
                                                scst_train_batch)
             train_refs = {train_ds.get(i).image_id: train_ds.get(i).captions
                           for i in range(len(train_ds))}
+            rewarder = scst["rewarder"] if scst else ScstRewarder(train_refs)
             scst = {
                 "sampler": make_scst_sampler(m_cfg, m_cfg.seq_length),
                 "step": make_scst_step(m_cfg, t_cfg, optimizer,
-                                       xe_weight=t_cfg.scst_xe_weight),
-                "rewarder": ScstRewarder(train_refs),
+                                       xe_weight=t_cfg.scst_xe_weight,
+                                       enable_cycle=cycle_on, mesh=mesh,
+                                       state=state, example_arrays=example),
+                "rewarder": rewarder,
                 "run": scst_train_batch,
+                "cycle_on": cycle_on,
             }
         if resident:
             r_step = get_resident_step(t_cfg.enable_cycle
@@ -169,6 +176,7 @@ def train(cfg: Config, max_epochs: int | None = None,
                                       shuffle=cfg.data.shuffle,
                                       seed=cfg.data.seed + epoch,
                                       prefetch=cfg.data.prefetch,
+                                      num_workers=cfg.data.num_workers,
                                       with_gt_region=(
                                           m_cfg.attn_supervision_weight > 0)):
                 arrays = batch.model_inputs()

@@ -14,16 +14,20 @@ import optax
 
 
 def lr_schedule(train_cfg, steps_per_epoch: int):
-    """Staircase decay: lr * rate^(floor((epoch - start)/every) + 1) once
-    epoch >= start (the reference's flag semantics), as optax schedule."""
+    """Staircase decay with the reference lineage's exact semantics:
+    lr * rate^floor((epoch - start)/every), active only once
+    epoch > start and start >= 0 (GVD / self-critical `main.py`:
+    ``frac = (epoch - start) // every`` guarded by ``epoch > start``)."""
     base = train_cfg.learning_rate
-    start = max(train_cfg.learning_rate_decay_start, 0)
+    start = train_cfg.learning_rate_decay_start
     every = max(train_cfg.learning_rate_decay_every, 1)
     rate = train_cfg.learning_rate_decay_rate
+    if start < 0:
+        return lambda step: base  # decay disabled (reference: start = -1)
 
     def schedule(step):
         epoch = step // max(steps_per_epoch, 1)
-        k = jnp.maximum((epoch - start) // every + 1, 0)
+        k = jnp.where(epoch > start, (epoch - start) // every, 0)
         return base * jnp.power(rate, k.astype(jnp.float32))
 
     return schedule

@@ -51,10 +51,20 @@ def sample_mask(tokens: jnp.ndarray) -> jnp.ndarray:
     return ((tokens != PAD_ID) & (after_eos == 0)).astype(jnp.float32)
 
 
-def make_scst_step(model_cfg, train_cfg, optimizer, xe_weight: float = 0.0):
+def make_scst_step(model_cfg, train_cfg, optimizer, xe_weight: float = 0.0,
+                   enable_cycle: bool | None = None, mesh=None, state=None,
+                   example_arrays=None):
     """Jitted: (state, arrays, sample_tokens, advantage, rng) -> (state,
     metrics).  Recomputes the sampled tokens' logprobs teacher-forced (no
-    gradient flows through the sampling itself — the REINFORCE estimator)."""
+    gradient flows through the sampling itself — the REINFORCE estimator).
+
+    `enable_cycle` stages the XE blend's cycle the same way the XE loop
+    does (--cycle_after); defaults to train_cfg.enable_cycle.  With
+    `mesh`, shardings are pinned exactly like make_train_step (batch over
+    'data', params/moments per param_shardings) so SCST scales over the
+    same SPMD mesh as XE training."""
+    if enable_cycle is None:
+        enable_cycle = train_cfg.enable_cycle
 
     def step(state: TrainState, arrays, sample_tokens, advantage, rng):
         B, L = sample_tokens.shape
@@ -85,7 +95,8 @@ def make_scst_step(model_cfg, train_cfg, optimizer, xe_weight: float = 0.0):
             loss = pg
             if xe_weight > 0:
                 xe, m2 = cyclical_loss(params, model_cfg, arrays, rng=rng,
-                                       train=True, enable_cycle=True)
+                                       train=True,
+                                       enable_cycle=enable_cycle)
                 loss = loss + xe_weight * xe
                 metrics["loss_xe"] = xe
             metrics["loss"] = loss
@@ -100,8 +111,19 @@ def make_scst_step(model_cfg, train_cfg, optimizer, xe_weight: float = 0.0):
         return (TrainState(params=params, opt_state=opt_state,
                            step=state.step + 1), metrics)
 
-    return jax.jit(step, donate_argnums=(0,)
-                   if train_cfg.donate_state else ())
+    donate = (0,) if train_cfg.donate_state else ()
+    if mesh is None:
+        return jax.jit(step, donate_argnums=donate)
+    assert state is not None and example_arrays is not None
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from cvc_tpu.parallel.mesh import DATA_AXIS, batch_shardings, replicated
+    from cvc_tpu.training.step import state_shardings
+    sh = state_shardings(mesh, state)
+    bs = batch_shardings(mesh, example_arrays)
+    rep = replicated(mesh)
+    batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(step, in_shardings=(sh, bs, batch_sh, batch_sh, rep),
+                   out_shardings=(sh, None), donate_argnums=donate)
 
 
 class ScstRewarder:
@@ -131,7 +153,10 @@ def scst_train_batch(state, arrays, batch, ds, sampler, step_fn, rewarder,
                      rng):
     """One full SCST iteration (sample -> reward -> update) for a batch.
     Returns (state, metrics)."""
-    out = sampler(state.params, arrays, rng)
+    # independent keys: caption-sampling noise must not correlate with the
+    # XE blend's dropout inside the update
+    rng_sample, rng_step = jax.random.split(rng)
+    out = sampler(state.params, arrays, rng_sample)
     sample_tokens = np.asarray(out["sample_tokens"])
     greedy_tokens = np.asarray(out["greedy_tokens"])
     image_ids = [ds.get(int(i)).image_id for i in batch.example_idx]
@@ -141,7 +166,7 @@ def scst_train_batch(state, arrays, batch, ds, sampler, step_fn, rewarder,
     r_g = rewarder.rewards(ds.vocab, greedy_tokens, image_ids, references)
     advantage = jnp.asarray((r_s - r_g) * np.asarray(batch.valid, np.float32))
     state, metrics = step_fn(state, arrays, jnp.asarray(sample_tokens),
-                             advantage, rng)
+                             advantage, rng_step)
     metrics = dict(metrics)
     metrics["reward_sample"] = float(r_s.mean())
     metrics["reward_greedy"] = float(r_g.mean())

@@ -149,8 +149,7 @@ def make_eval_step(model_cfg, mesh=None, state=None, example_arrays=None):
     assert state is not None and example_arrays is not None
     p_sh = param_shardings(mesh, state.params, shard_vocab_head=True)
     bs = batch_shardings(mesh, example_arrays)
-    rep = replicated(mesh)
-    metric_sh = {k: rep for k in ("loss", "loss_decode", "loss_recon",
-                                  "attention_entropy")}
-    return jax.jit(eval_step, in_shardings=(p_sh, bs),
-                   out_shardings=metric_sh)
+    # metrics are scalars and their key set varies with the optional
+    # supervised-grounding loss — let GSPMD place them (same as
+    # make_train_step) instead of pinning a fixed pytree.
+    return jax.jit(eval_step, in_shardings=(p_sh, bs), out_shardings=None)

@@ -56,3 +56,64 @@ def test_preset_configs_load():
     for n in names:
         c = Config.from_json(open(n).read())
         assert c.model.seq_length > 0
+
+
+def test_config_json_not_clobbered_by_cli_defaults(tmp_path):
+    """--config_json values survive unless the user explicitly passes the
+    flag (regression: argparse defaults silently overwrote the file)."""
+    base = Config()
+    base.model.rnn_size = 1280
+    base.model.dtype = "bfloat16"
+    base.model.use_pallas = True
+    base.data.batch_size = 512
+    base.train.num_devices = 8
+    base.train.model_axis = 2
+    p = tmp_path / "cfg.json"
+    p.write_text(base.to_json())
+
+    cfg = config_from_args(["--config_json", str(p)])
+    assert cfg.model.rnn_size == 1280
+    assert cfg.model.dtype == "bfloat16"
+    assert cfg.model.use_pallas is True
+    assert cfg.data.batch_size == 512
+    assert cfg.train.num_devices == 8 and cfg.train.model_axis == 2
+
+    # explicit CLI flag still wins over the file
+    cfg2 = config_from_args(["--config_json", str(p), "--batch_size", "32"])
+    assert cfg2.data.batch_size == 32
+    assert cfg2.model.rnn_size == 1280  # untouched fields keep JSON values
+
+
+def test_shipped_presets_apply_through_cli(tmp_path):
+    """Every shipped preset must be applicable via --config_json."""
+    import glob
+    for n in sorted(glob.glob("configs/*.json")):
+        file_cfg = Config.from_json(open(n).read())
+        cli_cfg = config_from_args(["--config_json", n])
+        assert cli_cfg.model.rnn_size == file_cfg.model.rnn_size, n
+        assert cli_cfg.model.dtype == file_cfg.model.dtype, n
+        assert cli_cfg.data.batch_size == file_cfg.data.batch_size, n
+        assert cli_cfg.train.num_devices == file_cfg.train.num_devices, n
+        assert cli_cfg.model.use_pallas == file_cfg.model.use_pallas, n
+
+
+def test_lr_schedule_reference_semantics():
+    """Staircase matches GVD lineage: rate^floor((epoch-start)/every),
+    active only once epoch > start; start=-1 disables decay."""
+    from cvc_tpu.config import TrainConfig
+    from cvc_tpu.training.optimizer import lr_schedule
+
+    t = TrainConfig(learning_rate=1.0, learning_rate_decay_start=1,
+                    learning_rate_decay_every=3,
+                    learning_rate_decay_rate=0.8)
+    sched = lr_schedule(t, steps_per_epoch=10)
+    # epoch = step // 10
+    assert float(sched(0)) == 1.0          # epoch 0: before start
+    assert float(sched(10)) == 1.0         # epoch 1 == start: not yet
+    assert float(sched(20)) == 1.0         # epoch 2: (2-1)//3 = 0
+    assert abs(float(sched(40)) - 0.8) < 1e-6   # epoch 4: (4-1)//3 = 1
+    assert abs(float(sched(70)) - 0.64) < 1e-6  # epoch 7: (7-1)//3 = 2
+
+    t2 = TrainConfig(learning_rate=0.5, learning_rate_decay_start=-1)
+    sched2 = lr_schedule(t2, steps_per_epoch=10)
+    assert float(sched2(990)) == 0.5

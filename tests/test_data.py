@@ -92,3 +92,36 @@ def test_video_padding_flattens_frames():
     assert f.shape == (32, D) and g.shape == (32, 5)
     assert m.sum() == F * N  # only real slots masked in
     assert np.isclose(g[0, 4], 0.16, atol=1e-5)  # area appended
+
+
+def test_num_workers_parity_and_order():
+    """Multi-threaded assembly yields byte-identical batches in the same
+    order as the single-thread path."""
+    from tests.conftest import tiny_model_config
+    mc = tiny_model_config(feat_dim=32, num_regions=16, seq_length=12)
+    ds = make_synthetic_dataset(num_images=13, num_regions=16, feat_dim=32,
+                                seq_length=12, split="train", seed=0)
+    ref = list(make_batches(ds, mc, 4, shuffle=True, seed=3,
+                            drop_last=False, prefetch=0))
+    par = list(make_batches(ds, mc, 4, shuffle=True, seed=3,
+                            drop_last=False, prefetch=2, num_workers=3))
+    assert len(ref) == len(par)
+    for a, b in zip(ref, par):
+        np.testing.assert_array_equal(a.feats, b.feats)
+        np.testing.assert_array_equal(a.tokens, b.tokens)
+        np.testing.assert_array_equal(a.example_idx, b.example_idx)
+        np.testing.assert_array_equal(a.valid, b.valid)
+
+
+def test_decode_sequence_with_pos_skips_bos_exactly():
+    """A generated BOS mid-stream is dropped from the sentence but must
+    NOT shift later words' timestep indices (attention alignment)."""
+    from cvc_tpu.data.vocab import BOS_ID, EOS_ID
+    ds = make_synthetic_dataset(num_images=2, num_regions=8, feat_dim=16,
+                                seq_length=8, split="train", seed=0)
+    v = ds.vocab
+    w = [i for i in range(4, 10)]
+    ids = np.array([[w[0], BOS_ID, w[1], w[2], EOS_ID, 0]], np.int32)
+    sents, pos = v.decode_sequence_with_pos(ids)
+    assert len(sents[0].split()) == 3
+    assert pos[0] == [0, 2, 3]  # BOS slot 1 skipped, indices preserved

@@ -92,3 +92,44 @@ def test_full_scst_iteration_runs():
         assert np.isfinite(metrics["reward_sample"])
         assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 2
+
+
+def test_scst_step_on_mesh_matches_single_device():
+    """The GSPMD-pinned SCST step over (data=4, model=2) reproduces the
+    single-device update numerics (VERDICT r1: SCST x mesh unexercised)."""
+    from cvc_tpu.parallel.mesh import make_mesh, shard_batch
+    from cvc_tpu.training.step import state_shardings
+    from tests.conftest import random_batch
+
+    cfg = tiny_model_config()
+    tc = TrainConfig(learning_rate=1e-3, grad_clip=1.0, donate_state=False)
+    params = core.init_params(jax.random.PRNGKey(0), cfg)
+    opt = make_optimizer(tc, steps_per_epoch=4)
+    arrays = {k: jnp.asarray(v) for k, v in random_batch(cfg, 8, 3).items()}
+    rng = jax.random.PRNGKey(7)
+    L = cfg.seq_length + 1
+    toks = np.asarray(
+        np.random.default_rng(5).integers(4, cfg.vocab_size, size=(8, L)),
+        np.int32)
+    toks[:, -2] = 2  # EOS
+    adv = jnp.asarray(np.random.default_rng(6).normal(size=(8,)), jnp.float32)
+
+    state = TrainState.create(params, opt)
+    step1 = make_scst_step(cfg, tc, opt, xe_weight=0.1)
+    s1, m1 = step1(state, arrays, jnp.asarray(toks), adv, rng)
+
+    mesh = make_mesh(8, model_axis=2)
+    stateN = jax.device_put(TrainState.create(params, opt),
+                            state_shardings(mesh, TrainState.create(params, opt)))
+    stepN = make_scst_step(cfg, tc, opt, xe_weight=0.1, mesh=mesh,
+                           state=stateN, example_arrays=arrays)
+    sh_arrays = shard_batch(mesh, arrays)
+    sh_toks = shard_batch(mesh, {"t": jnp.asarray(toks)})["t"]
+    sh_adv = shard_batch(mesh, {"a": adv})["a"]
+    sN, mN = stepN(stateN, sh_arrays, sh_toks, sh_adv, rng)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(mN["loss"]),
+                               rtol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(s1.params["logit"]["b"]), np.asarray(sN.params["logit"]["b"]),
+        rtol=1e-3, atol=1e-6)

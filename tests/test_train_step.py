@@ -101,11 +101,13 @@ def test_lr_schedule_staircase():
                      learning_rate_decay_every=2,
                      learning_rate_decay_rate=0.5)
     sched = lr_schedule(tc, steps_per_epoch=10)
-    # epoch 0 -> no decay; epochs 1,2 -> 0.5; epochs 3,4 -> 0.25
-    assert float(sched(5)) == 1.0
-    assert float(sched(10)) == 0.5
-    assert float(sched(25)) == 0.5
-    assert float(sched(30)) == 0.25
+    # reference lineage: rate^floor((epoch-start)/every), only once
+    # epoch > start -> epochs 0..2 full LR; 3,4 -> 0.5; 5,6 -> 0.25
+    assert float(sched(5)) == 1.0    # epoch 0
+    assert float(sched(10)) == 1.0   # epoch 1 == start
+    assert float(sched(25)) == 1.0   # epoch 2: (2-1)//2 = 0
+    assert float(sched(30)) == 0.5   # epoch 3: (3-1)//2 = 1
+    assert float(sched(50)) == 0.25  # epoch 5: (5-1)//2 = 2
 
 
 def test_grad_clip_applied():
@@ -121,3 +123,25 @@ def test_grad_clip_applied():
                zip(jax.tree_util.tree_leaves(s.params),
                    jax.tree_util.tree_leaves(state2.params)))
     assert diff < 1e-2
+
+
+def test_eval_step_sharded_with_attn_supervision():
+    """Regression (ADVICE r1): mesh eval step must not pin a fixed metric
+    pytree — supervised-grounding configs add loss_attn_sup."""
+    cfg = tiny_model_config(attn_supervision_weight=0.5)
+    params = core.init_params(jax.random.PRNGKey(0), cfg)
+    tc = TrainConfig(learning_rate=1e-3, donate_state=False)
+    opt = make_optimizer(tc, steps_per_epoch=10)
+    state = TrainState.create(params, opt)
+    arrays = {k: jnp.asarray(v) for k, v in random_batch(cfg, 8, 0).items()}
+    T = cfg.max_tokens
+    gt = np.full((8, T), -1, np.int32)
+    gt[:, 1] = 0  # one supervised word per row
+    arrays["gt_region"] = jnp.asarray(gt)
+    mesh = make_mesh(8, model_axis=1)
+    ev = make_eval_step(cfg, mesh=mesh, state=state, example_arrays=arrays)
+    placed = jax.device_put(state.params,
+                            param_shardings(mesh, state.params))
+    metrics = ev(placed, shard_batch(mesh, arrays))
+    assert "loss_attn_sup" in metrics
+    assert np.isfinite(float(metrics["loss"]))
