@@ -121,6 +121,28 @@ def evaluate_split(params, model_cfg, eval_cfg, ds, batch_size: int,
     return results
 
 
+_TF_ALPHA_CACHE: dict = {}
+
+
+def _make_tf_alpha_fn(model_cfg):
+    """Jitted teacher-forced alpha extraction (unjitted decode through a
+    remote PJRT tunnel costs ~25ms per dispatched op — minutes per probe)."""
+    import dataclasses
+    import jax
+
+    key = repr(dataclasses.asdict(model_cfg))
+    if key in _TF_ALPHA_CACHE:
+        return _TF_ALPHA_CACHE[key]
+
+    @jax.jit
+    def fn(params, arrays):
+        _, alphas, _, _ = decode_teacher_forced(params, model_cfg, arrays)
+        return alphas
+
+    _TF_ALPHA_CACHE[key] = fn
+    return fn
+
+
 def gt_sentence_attention_eval(params, model_cfg, ds, batch_size: int,
                                source: str = "decoder") -> dict:
     """Teacher-forced localization accuracy: run the decode pass on GT
@@ -129,6 +151,8 @@ def gt_sentence_attention_eval(params, model_cfg, ds, batch_size: int,
     generation attention alpha; 'localizer' uses the cycle-trained beta
     over the GT words."""
     localizer_fn = _make_localizer_fn(model_cfg) if source == "localizer" \
+        else None
+    tf_alpha_fn = _make_tf_alpha_fn(model_cfg) if source != "localizer" \
         else None
     samples = []
     for batch in make_batches(ds, model_cfg, batch_size, shuffle=False,
@@ -139,8 +163,7 @@ def gt_sentence_attention_eval(params, model_cfg, ds, batch_size: int,
             alphas = np.asarray(localizer_fn(params, arrays,
                                              arrays["tokens"][:, 1:]))
         else:
-            _, alphas, _, _ = decode_teacher_forced(params, model_cfg, arrays)
-            alphas = np.asarray(alphas)
+            alphas = np.asarray(tf_alpha_fn(params, arrays))
         for i in range(alphas.shape[0]):
             if not batch.valid[i]:
                 continue
