@@ -2,9 +2,10 @@
 `main.py` -> coco-caption; SURVEY.md §3.2).
 
 Takes generated captions + references, applies the PTB tokenizer, and
-computes BLEU@1-4, CIDEr(-D) and METEOR.  METEOR/SPICE in the reference
-are Java jars; here METEOR falls back to the pure-Python `meteor_lite`
-when no JVM is present (always, in this sandbox) and SPICE — which needs a
+computes BLEU@1-4, CIDEr(-D) and METEOR.  METEOR comes from the real
+meteor-1.5 jar when a JVM + jar exist (CVC_METEOR_JAR), else from the
+pure-Python algorithm port in `meteor.py` (exact+stem modules; the
+synonym/paraphrase data files are the jar's).  SPICE — which needs a
 dependency parser — is reported as None rather than faked.  Results are
 also written as a JSON artifact like the reference's eval outputs.
 """
@@ -13,11 +14,11 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 
 from cvc_tpu.evaluation.bleu import corpus_bleu
 from cvc_tpu.evaluation.cider import CiderD
-from cvc_tpu.evaluation.meteor_lite import meteor_lite
+from cvc_tpu.evaluation.meteor import corpus_meteor
+from cvc_tpu.evaluation.meteor_jar import MeteorJar, jar_available
 from cvc_tpu.evaluation.tokenizer import tokenize_corpus
 
 
@@ -26,7 +27,7 @@ def language_eval(predictions: list[dict],
                   out_path: str | None = None) -> dict:
     """predictions: [{'image_id': str, 'caption': str}, ...]
     references:  {image_id: [raw ref sentence, ...]}
-    Returns {'Bleu_1'..'Bleu_4', 'CIDEr', 'METEOR_lite', 'SPICE': None}.
+    Returns {'Bleu_1'..'Bleu_4', 'CIDEr', 'METEOR', 'SPICE': None}.
     """
     cand_raw = {str(p["image_id"]): [p["caption"]] for p in predictions}
     refs_raw = {str(k): v for k, v in references.items()}
@@ -40,11 +41,16 @@ def language_eval(predictions: list[dict],
     cider, cider_per_img = CiderD().compute_score(candidates, refs_tok)
     out = {f"Bleu_{n+1}": bleu[n] for n in range(4)}
     out["CIDEr"] = cider
-    if shutil.which("java"):
-        out["METEOR"] = None  # jar integration point (no jar in sandbox)
-        out["METEOR_lite"] = meteor_lite(candidates, refs_tok)
+    if jar_available():
+        jar = MeteorJar()
+        try:
+            out["METEOR"], _ = jar.compute_score(candidates, refs_tok)
+            out["METEOR_source"] = "meteor-1.5.jar"
+        finally:
+            jar.close()
     else:
-        out["METEOR_lite"] = meteor_lite(candidates, refs_tok)
+        out["METEOR"], _ = corpus_meteor(candidates, refs_tok)
+        out["METEOR_source"] = "python-port(exact+stem)"
     out["SPICE"] = None  # requires a scene-graph parser (Java); not faked
     out["n_scored"] = len(ids)
 

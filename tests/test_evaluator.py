@@ -28,7 +28,7 @@ def test_evaluate_split_greedy(world):
     ec = EvalConfig(beam_size=1, sample_method="greedy", max_length=12)
     res = evaluate_split(params, mc, ec, ds, batch_size=4)
     assert res["n_images"] == 12
-    for k in ("Bleu_1", "Bleu_4", "CIDEr", "METEOR_lite",
+    for k in ("Bleu_1", "Bleu_4", "CIDEr", "METEOR",
               "F1_all", "F1_loc"):
         assert k in res, k
         assert res[k] is None or np.isfinite(res[k])

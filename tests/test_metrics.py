@@ -9,14 +9,14 @@ from cvc_tpu.evaluation.bleu import corpus_bleu
 from cvc_tpu.evaluation.cider import CiderD
 from cvc_tpu.evaluation.grounding import grounding_eval, gt_sentence_localization
 from cvc_tpu.evaluation.language_eval import language_eval
-from cvc_tpu.evaluation.meteor_lite import meteor_lite
+from cvc_tpu.evaluation.meteor import corpus_meteor
 from cvc_tpu.evaluation.tokenizer import ptb_tokenize
 
 
 def test_ptb_tokenizer_punctuation_and_case():
     assert ptb_tokenize("A man, riding; a horse.") == \
         ["a", "man", "riding", "a", "horse"]
-    assert ptb_tokenize("Don't stop!") == ["don't", "stop"]
+    assert ptb_tokenize("Don't stop!") == ["do", "n't", "stop"]
     assert ptb_tokenize("") == []
 
 
@@ -82,13 +82,69 @@ def test_cider_length_penalty_gaussian():
     assert per_img["1"] > per_img["2"] > 0.0
 
 
-def test_meteor_lite_ordering():
+def test_meteor_ordering():
     refs = {"1": ["a man rides a brown horse"]}
-    good = meteor_lite({"1": "a man rides a brown horse"}, refs)
-    near = meteor_lite({"1": "a man riding a brown horse"}, refs)   # stem match
-    bad = meteor_lite({"1": "purple elephants sing loudly"}, refs)
+    good, _ = corpus_meteor({"1": "a man rides a brown horse"}, refs)
+    near, _ = corpus_meteor({"1": "a man riding a brown horse"}, refs)
+    bad, _ = corpus_meteor({"1": "purple elephants sing loudly"}, refs)
     assert good > near > bad
-    assert good > 0.9 and bad == 0.0
+    assert good > 0.99 and bad == 0.0
+
+
+def test_meteor_hand_computed():
+    """Goldens derived by hand from the METEOR 1.5 formulas (en norm
+    params alpha=.85, beta=.2, gamma=.6, delta=.75)."""
+    # identical sentences: full contiguous alignment -> no penalty -> 1.0
+    s, _ = corpus_meteor({"1": "a red dog"}, {"1": ["a red dog"]})
+    assert abs(s - 1.0) < 1e-9
+    # partial exact overlap: "a dog" matches, 1 chunk of 2.
+    # P = R = (0.75*1 + 0.25*1) / (0.75*2 + 0.25*1) = 0.571428...
+    # fmean = P (P == R); frag = 1/2; Pen = 0.6 * 0.5^0.2 = 0.522334
+    # score = 0.571428 * (1 - 0.522334) = 0.272952
+    s, _ = corpus_meteor({"1": "a dog runs"}, {"1": ["a dog sleeps"]})
+    assert abs(s - 0.272952) < 1e-4
+    # pure stem matches (dogs/dog, running/runs -> stems dog, run):
+    # weight 0.6 each, full contiguous coverage -> no penalty
+    # P = R = (0.75*1.2) / (0.75*2) = 0.6 -> score 0.6
+    s, _ = corpus_meteor({"1": "dogs running"}, {"1": ["dog runs"]})
+    assert abs(s - 0.6) < 1e-9
+
+
+def test_meteor_multi_reference_takes_best():
+    refs = {"1": ["completely unrelated words here",
+                  "a man rides a horse"]}
+    s, per = corpus_meteor({"1": "a man rides a horse"}, refs)
+    assert abs(s - 1.0) < 1e-9 and abs(per["1"] - 1.0) < 1e-9
+
+
+def test_meteor_alignment_minimizes_chunks():
+    """The beam aligner must prefer the contiguous alignment when a word
+    appears twice in the reference."""
+    from cvc_tpu.evaluation.meteor import align
+    hyp = "the cat sat".split()
+    ref = "the dog saw the cat sat".split()
+    pairs, _ = align(hyp, ref)
+    # "the" should align to ref position 3 (contiguous with cat/sat),
+    # giving exactly 1 chunk
+    assert sorted(pairs) == [(0, 3), (1, 4), (2, 5)]
+
+
+def test_porter_stemmer_canonical_vectors():
+    from cvc_tpu.evaluation.meteor import porter_stem
+    vectors = {
+        "caresses": "caress", "ponies": "poni", "cats": "cat",
+        "feed": "feed", "agreed": "agre", "plastered": "plaster",
+        "motoring": "motor", "sing": "sing", "hopping": "hop",
+        "falling": "fall", "hissing": "hiss", "filing": "file",
+        "happy": "happi", "sky": "sky", "relational": "relat",
+        "conditional": "condit", "electricity": "electr",
+        "adjustable": "adjust", "dependent": "depend",
+        "effective": "effect", "formalize": "formal",
+        "riding": "ride", "horses": "hors", "running": "run",
+    }
+    bad = {w: (porter_stem(w), want) for w, want in vectors.items()
+           if porter_stem(w) != want}
+    assert not bad, bad
 
 
 def test_language_eval_end_to_end(tmp_path):
@@ -162,3 +218,20 @@ def test_gt_sentence_localization_mode():
     out = gt_sentence_localization(samples)
     np.testing.assert_allclose(out["attn_accuracy"], 0.5)
     assert out["n_words"] == 2
+
+
+def test_ptb_tokenizer_golden_corpus():
+    """>=60 curated caption pairs pinning CoreNLP-PTB observable behavior
+    (hyphens, brackets, contractions, assimilations, numerals, currency;
+    SURVEY.md §7 parity risk #1)."""
+    import json
+    from cvc_tpu.evaluation.tokenizer import ptb_tokenize
+    cases = json.load(open("tests/data/ptb_golden.json"))["cases"]
+    assert len(cases) >= 60
+    bad = []
+    for inp, want in cases:
+        got = " ".join(ptb_tokenize(inp))
+        if got != want:
+            bad.append((inp, want, got))
+    assert not bad, "\n".join(f"{i!r}: want {w!r}, got {g!r}"
+                              for i, w, g in bad)
