@@ -33,9 +33,76 @@ from cvc_tpu.ops.box_ops import box_iou
 
 IOU_THRESH = 0.5
 
+# Irregular plurals common in caption object vocabularies (the reference
+# protocol lemmatizes; a stem table covers the regulars).
+_IRREGULAR_LEMMAS = {
+    "men": "man", "women": "woman", "children": "child", "people": "person",
+    "feet": "foot", "teeth": "tooth", "geese": "goose", "mice": "mouse",
+    "knives": "knife", "leaves": "leaf", "loaves": "loaf", "wolves": "wolf",
+    "shelves": "shelf", "scarves": "scarf", "buses": "bus",
+}
 
-def _word_class_map(class_names: list[str]) -> dict[str, int]:
-    return {w: i for i, w in enumerate(class_names)}
+
+def lemma(word: str) -> str:
+    """Caption-noun lemmatizer: irregular table + conservative plural
+    stripping (the ANet-Entities eval protocol matches generated words to
+    the entity vocabulary at the lemma level, not by exact string)."""
+    w = word.lower()
+    if w in _IRREGULAR_LEMMAS:
+        return _IRREGULAR_LEMMAS[w]
+    if w.endswith("ies") and len(w) > 4:
+        return w[:-3] + "y"                       # puppies -> puppy
+    if w.endswith(("ches", "shes", "xes", "sses", "zes")):
+        return w[:-2]                             # benches -> bench
+    if w.endswith("s") and not w.endswith(("ss", "us", "is")) and len(w) > 3:
+        return w[:-1]                             # dogs -> dog
+    return w
+
+
+class WordClassMatcher:
+    """Generated-word -> detector-class mapping with the reference
+    protocol's behaviors (ANet-Entities `eval_grd_anet_entities.py`
+    lineage):
+
+      * lemma-level matching (``dogs`` matches class ``dog``);
+      * multi-word class names (``traffic light``) matched as phrases
+        over the generated word sequence, attention graded at the
+        phrase's FIRST word (the protocol's NP-head convention);
+      * single-word classes matched per word.
+
+    `match(words)` yields (word_idx, class_id) pairs, longest phrase
+    first so a multi-word class wins over a single-word prefix.
+    """
+
+    def __init__(self, class_names: list[str]):
+        self.single: dict[str, int] = {}
+        self.phrases: list[tuple[list[str], int]] = []
+        for ci, name in enumerate(class_names):
+            parts = [lemma(p) for p in name.lower().split()]
+            if len(parts) == 1:
+                self.single.setdefault(parts[0], ci)
+            else:
+                self.phrases.append((parts, ci))
+        self.phrases.sort(key=lambda pc: -len(pc[0]))
+
+    def match(self, words: list[str]) -> list[tuple[int, int]]:
+        lems = [lemma(w) for w in words]
+        out = []
+        used = [False] * len(words)
+        for parts, ci in self.phrases:
+            n = len(parts)
+            for t in range(len(words) - n + 1):
+                if any(used[t:t + n]):
+                    continue
+                if lems[t:t + n] == parts:
+                    out.append((t, ci))
+                    for k in range(t, t + n):
+                        used[k] = True
+        for t, lw in enumerate(lems):
+            if not used[t] and lw in self.single:
+                out.append((t, self.single[lw]))
+                used[t] = True
+        return sorted(out)
 
 
 def grounding_eval(samples: list[dict], class_names: list[str],
@@ -54,8 +121,7 @@ def grounding_eval(samples: list[dict], class_names: list[str],
     attempted = defaultdict(int)    # generated & class present in GT
     classes = set()
 
-    names = set(class_names)
-    cmap = _word_class_map(class_names)
+    matcher = WordClassMatcher(class_names)
 
     for s in samples:
         gt_by_class = defaultdict(list)
@@ -65,10 +131,11 @@ def grounding_eval(samples: list[dict], class_names: list[str],
             classes.add(int(e["class_id"]))
         attn = np.asarray(s["attn"])
         boxes = np.asarray(s["boxes"])
-        for t, w in enumerate(s["words"]):
-            if w not in names:
+        # lemma/phrase-level word->class matching; attention graded at the
+        # phrase's first word (reference protocol, not exact string match)
+        for t, c in matcher.match(list(s["words"])):
+            if t >= attn.shape[0]:
                 continue
-            c = cmap[w]
             gen[c] += 1
             classes.add(c)
             if c not in gt_by_class:

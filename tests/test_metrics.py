@@ -235,3 +235,62 @@ def test_ptb_tokenizer_golden_corpus():
             bad.append((inp, want, got))
     assert not bad, "\n".join(f"{i!r}: want {w!r}, got {g!r}"
                               for i, w, g in bad)
+
+
+def test_grounding_lemma_matching():
+    """'dogs' must ground to class 'dog' (reference protocol matches at
+    the lemma level, not exact string)."""
+    class_names = ["dog", "cat"]
+    samples = [{
+        "words": ["two", "dogs"],
+        "attn": np.array([[.5, .5], [.9, .1]]),
+        "boxes": _boxes(),
+        "gt": [{"class_id": 0, "box": [0, 0, .5, .5]}],
+    }]
+    r = grounding_eval(samples, class_names)
+    assert r["F1_loc"] == 1.0 and r["F1_all"] == 1.0
+
+
+def test_grounding_multiword_phrase_first_word():
+    """Multi-word class ('traffic light') matches as a phrase and is
+    graded at its FIRST word's attention row."""
+    class_names = ["traffic light", "car"]
+    samples = [{
+        "words": ["a", "traffic", "light", "glows"],
+        # row 1 ("traffic") attends region 0 = correct box; row 2
+        # ("light") attends the wrong region — protocol grades row 1.
+        "attn": np.array([[.5, .5], [.9, .1], [.1, .9], [.5, .5]]),
+        "boxes": _boxes(),
+        "gt": [{"class_id": 0, "box": [0, 0, .5, .5]}],
+    }]
+    r = grounding_eval(samples, class_names)
+    assert r["F1_loc"] == 1.0
+    # single words of a multi-word name must NOT match alone
+    samples[0]["words"] = ["a", "light", "snack"]
+    r2 = grounding_eval(samples, class_names)
+    assert r2["F1_loc"] == 0.0 and r2["recall"] == 0.0
+
+
+def test_grounding_irregular_plural():
+    class_names = ["man"]
+    samples = [{
+        "words": ["men", "walking"],
+        "attn": np.array([[.9, .1], [.5, .5]]),
+        "boxes": _boxes(),
+        "gt": [{"class_id": 0, "box": [0, 0, .5, .5]}],
+    }]
+    r = grounding_eval(samples, class_names)
+    assert r["F1_loc"] == 1.0
+
+
+def test_lemma_rules():
+    from cvc_tpu.evaluation.grounding import lemma
+    assert lemma("dogs") == "dog"
+    assert lemma("puppies") == "puppy"
+    assert lemma("benches") == "bench"
+    assert lemma("glasses") == "glass"
+    assert lemma("women") == "woman"
+    assert lemma("people") == "person"
+    assert lemma("bus") == "bus"
+    assert lemma("grass") == "grass"
+    assert lemma("tennis") == "tennis"
