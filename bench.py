@@ -1,23 +1,32 @@
 #!/usr/bin/env python
-"""Headline benchmark: captions/sec/chip, beam=5, Flickr30k-shaped model.
+"""Headline benchmark: captions/sec/chip (beam 5) + cyclical train step.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric", "value", "unit", "vs_baseline", "vs_baseline_measured",
+   "mfu", "gflop_per_caption", "train_images_per_sec",
+   "train_tokens_per_sec", "train_step_ms", "train_mfu", "dtype"}
 
 Configuration mirrors BASELINE.json's headline metric: full-size decoder
 (rnn 1024 / emb 512 / att 512), 100 region proposals (padded to 128 slots
 for MXU tiling), vocab 8704, seq 20, batch 64, beam 5, generation entirely
-on device via the vectorized beam search.
+on device via the vectorized beam search.  The cyclical TRAIN step (the
+paper's actual hot loop, SURVEY.md §3.1) is benchmarked in the same run.
 
-vs_baseline: the reference never published throughput (BASELINE.md), so
-the denominator is a documented engineering estimate of the reference's
-per-image Python beam loop on a contemporary GPU: ~150 captions/sec
-(batch 64, beam 5, V100-class — per-step host round-trips bound it far
-below kernel limits).  Replace with a measured number if the reference
-ever becomes runnable.
+Baselines:
+  * vs_baseline — the documented engineering estimate of the reference's
+    per-image Python beam loop on a V100-class GPU (~150 caps/s); kept
+    for continuity with BASELINE.md.
+  * vs_baseline_measured — ratio against the MEASURED reference-shaped
+    torch decoder (tools/measure_torch_baseline.py writes
+    BASELINE_MEASURED.json; torch-CPU on this host — an anchor for the
+    reference's host-bound per-step structure, not a V100 reproduction).
+
+MFU: analytic matmul FLOPs (computed from the model dims below) divided
+by the v5e bf16 peak of 197 TFLOP/s.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -25,11 +34,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cvc_tpu.config import EvalConfig, ModelConfig
+from cvc_tpu.config import EvalConfig, ModelConfig, TrainConfig
 from cvc_tpu.models import core
 from cvc_tpu.models.decoding import make_decoder
 
-REF_BASELINE_CAPS_PER_SEC = 150.0  # documented estimate; see module docstring
+REF_BASELINE_CAPS_PER_SEC = 150.0  # documented estimate; see docstring
+PEAK_BF16_FLOPS = 197e12           # TPU v5e peak (bf16)
 
 BATCH = 64
 BEAM = 5
@@ -48,6 +58,11 @@ def flagship_config(**kw) -> ModelConfig:
 def random_arrays(cfg: ModelConfig, batch: int, seed: int = 0) -> dict:
     rng = np.random.default_rng(seed)
     S = cfg.total_regions
+    T = cfg.max_tokens
+    tokens = np.zeros((batch, T), np.int32)
+    tokens[:, 0] = 1
+    tokens[:, 1:SEQ + 1] = rng.integers(4, cfg.vocab_size, (batch, SEQ))
+    tokens[:, SEQ + 1] = 2
     return dict(
         feats=jnp.asarray(rng.normal(size=(batch, S, cfg.feat_dim)),
                           jnp.float32),
@@ -57,28 +72,57 @@ def random_arrays(cfg: ModelConfig, batch: int, seed: int = 0) -> dict:
         region_mask=jnp.asarray(
             (np.arange(S)[None, :] < 100).astype(np.float32)
             * np.ones((batch, 1), np.float32)),
-        tokens=jnp.zeros((batch, cfg.max_tokens), jnp.int32),
-        token_mask=jnp.ones((batch, cfg.max_tokens), jnp.float32),
+        tokens=jnp.asarray(tokens),
+        token_mask=jnp.ones((batch, T), jnp.float32),
     )
 
 
-def main():
-    # bf16 is the default serving operating point: convergence and caption
-    # quality were verified equivalent to f32 on the synthetic world
-    # (loss 3.650 vs 3.652, CIDEr within noise) and it is ~6% faster.
-    dtype = "float32" if "--fp32" in sys.argv else "bfloat16"
-    if "--bf16" in sys.argv:
-        dtype = "bfloat16"
-    cfg = flagship_config(use_pallas="--pallas" in sys.argv, dtype=dtype)
-    params = core.init_params(jax.random.PRNGKey(0), cfg)
-    arrays = random_arrays(cfg, BATCH)
+# ---------------------------------------------------------------------------
+# Analytic FLOPs (matmul terms only; elementwise excluded -> conservative)
+# ---------------------------------------------------------------------------
+
+def per_row_step_flops(cfg: ModelConfig) -> float:
+    """One autoregressive decoder step for one (batch*beam) row."""
+    H, E, A, V, S = (cfg.rnn_size, cfg.input_encoding_size,
+                     cfg.att_hid_size, cfg.vocab_size, cfg.total_regions)
+    att_lstm = 8 * H * (E + 2 * H)        # emb/h_lang/h_att gate matmuls
+    attention = 2 * H * A + 4 * S * A + 2 * S * H
+    lang_lstm = 24 * H * H                # ctx/h_att/h_lang gate matmuls
+    logits = 2 * H * V
+    return float(att_lstm + attention + lang_lstm + logits)
+
+
+def encode_flops(cfg: ModelConfig) -> float:
+    S = cfg.total_regions
+    return float(2 * S * cfg.feat_dim * cfg.rnn_size            # region proj
+                 + 2 * S * cfg.rnn_size * cfg.att_hid_size)     # keys
+
+
+def caption_flops(cfg: ModelConfig, beam: int) -> float:
+    L = cfg.seq_length + 1
+    return encode_flops(cfg) + beam * L * per_row_step_flops(cfg)
+
+
+def train_image_flops(cfg: ModelConfig) -> float:
+    """Cyclical train step per image: forward (decode scan + localizer +
+    reconstruct scan) x3 for fwd+bwd."""
+    L = cfg.max_tokens - 1
+    S, A, E = cfg.total_regions, cfg.att_hid_size, cfg.input_encoding_size
+    localizer = L * (2 * E * A + 2 * S * A + 2 * S * cfg.rnn_size)
+    fwd = encode_flops(cfg) + 2 * L * per_row_step_flops(cfg) + localizer
+    return 3.0 * fwd
+
+
+# ---------------------------------------------------------------------------
+
+def bench_decode(cfg, params) -> float:
     decoder = make_decoder(cfg, EvalConfig(beam_size=BEAM, max_length=SEQ,
                                            sample_method="beam"))
-
+    arrays = random_arrays(cfg, BATCH)
     out = decoder(params, arrays)          # compile + warmup
     jax.block_until_ready(out["tokens"])
-    # Throughput measurement: submit a stream of batches and sync once —
-    # serving pipelines dispatch, so per-call blocking would understate.
+    # Throughput: submit a stream of batches and sync once — serving
+    # pipelines dispatch, per-call blocking would understate ~3x here.
     N_ITERS = 10
     best = float("inf")
     for _ in range(3):
@@ -87,14 +131,68 @@ def main():
             out = decoder(params, arrays)
         jax.block_until_ready(out["tokens"])
         best = min(best, (time.perf_counter() - t0) / N_ITERS)
-    caps_per_sec = BATCH / best
+    return BATCH / best
 
-    print(json.dumps({
+
+def bench_train(cfg, params) -> dict:
+    from cvc_tpu.training import TrainState, make_optimizer
+    from cvc_tpu.training.step import make_train_step
+    tc = TrainConfig(learning_rate=5e-4, grad_clip=0.1, donate_state=True)
+    opt = make_optimizer(tc, steps_per_epoch=1000)
+    state = TrainState.create(params, opt)
+    step = make_train_step(cfg, tc, opt)
+    arrays = random_arrays(cfg, BATCH, seed=1)
+    rng = jax.random.PRNGKey(0)
+    state, m = step(state, arrays, rng)    # compile + warmup
+    jax.block_until_ready(m["loss"])
+    N_ITERS = 20
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(N_ITERS):
+            state, m = step(state, arrays, rng)
+        jax.block_until_ready(m["loss"])
+        best = min(best, (time.perf_counter() - t0) / N_ITERS)
+    toks = float(BATCH * (cfg.seq_length + 1))
+    return {"train_step_ms": round(best * 1e3, 3),
+            "train_images_per_sec": round(BATCH / best, 1),
+            "train_tokens_per_sec": round(toks / best, 1),
+            "train_mfu": round(BATCH * train_image_flops(cfg)
+                               / best / PEAK_BF16_FLOPS, 4)}
+
+
+def main():
+    # bf16 is the default serving operating point: convergence and caption
+    # quality were verified equivalent to f32 on the synthetic world
+    # (loss 3.650 vs 3.652, CIDEr within noise) and it is ~6% faster.
+    dtype = "float32" if "--fp32" in sys.argv else "bfloat16"
+    cfg = flagship_config(use_pallas="--pallas" in sys.argv, dtype=dtype)
+    params = core.init_params(jax.random.PRNGKey(0), cfg)
+
+    caps_per_sec = bench_decode(cfg, params)
+    gflop_caption = caption_flops(cfg, BEAM) / 1e9
+    out = {
         "metric": "captions_per_sec_per_chip_beam5_flickr30k",
         "value": round(caps_per_sec, 2),
         "unit": "captions/s/chip",
         "vs_baseline": round(caps_per_sec / REF_BASELINE_CAPS_PER_SEC, 3),
-    }))
+        "mfu": round(caps_per_sec * gflop_caption * 1e9 / PEAK_BF16_FLOPS,
+                     4),
+        "gflop_per_caption": round(gflop_caption, 3),
+        "dtype": dtype,
+    }
+    mb = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "BASELINE_MEASURED.json")
+    if os.path.exists(mb):
+        measured = json.load(open(mb))
+        ref = float(measured["torch_cpu_caps_per_sec"])
+        out["baseline_measured_caps_per_sec"] = ref
+        out["vs_baseline_measured"] = round(caps_per_sec / ref, 1)
+
+    if "--no-train" not in sys.argv:
+        out.update(bench_train(cfg, params))
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

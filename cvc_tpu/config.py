@@ -47,6 +47,11 @@ class ModelConfig:
     obj_interact_layers: int = 1
     obj_interact_heads: int = 4
     cycle_weight: float = 1.0         # lambda on the reconstruction XE (paper sets ~1)
+    cycle_localize_gt: bool = False   # train-time localizer queries: GT
+    #                                   target words instead of argmax
+    #                                   (cold-start aid; same supervision
+    #                                   budget — no boxes; reference
+    #                                   semantics = False)
     attention_entropy_weight: float = 0.0  # >0: penalize diffuse decoder
     #                                   attention (breaks the uniform-mean
     #                                   local optimum; see experiments/)
@@ -211,6 +216,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--enable_cycle", type=int, default=1,
                    help="cyclical decode->localize->reconstruct training (the method)")
     p.add_argument("--cycle_weight", type=float, default=1.0)
+    p.add_argument("--cycle_localize_gt", type=int, default=0)
     p.add_argument("--cycle_after", type=int, default=0)
     p.add_argument("--use_pallas", type=int, default=0)
     p.add_argument("--attn_supervision_weight", type=float, default=0.0,
@@ -283,6 +289,7 @@ def _defaults_from_config(cfg: Config) -> dict:
         att_hid_size=m.att_hid_size, drop_prob_lm=m.drop_prob_lm,
         obj_interact=int(m.obj_interact), enable_cycle=int(t.enable_cycle),
         cycle_weight=m.cycle_weight, cycle_after=t.cycle_after,
+        cycle_localize_gt=int(m.cycle_localize_gt),
         use_pallas=int(m.use_pallas),
         attn_supervision_weight=m.attn_supervision_weight,
         dtype=m.dtype,
@@ -344,6 +351,7 @@ def config_from_args(argv=None) -> Config:
     m.drop_prob_lm = args.drop_prob_lm
     m.obj_interact = bool(args.obj_interact)
     m.cycle_weight = args.cycle_weight
+    m.cycle_localize_gt = bool(args.cycle_localize_gt)
     m.attn_supervision_weight = args.attn_supervision_weight
     m.use_pallas = bool(args.use_pallas)
     m.dtype = args.dtype

@@ -90,9 +90,21 @@ def cyclical_loss(params, cfg, arrays, rng=None, train: bool = False,
 
     loss_rec = jnp.zeros((), jnp.float32)
     if enable_cycle:
-        # (a) generated words from the decode pass (argmax, no gradient).
-        gen_words = jnp.argmax(logits_dec, axis=-1).astype(jnp.int32)  # [B,L]
-        # (b) localize each generated word over the regions.
+        # (a) localizer queries: the decode pass's argmax words (the
+        # reference's semantics — generated, not ground truth).  With
+        # cfg.cycle_localize_gt the TARGET words are used instead during
+        # training: same supervision budget (caption words only, no
+        # boxes), but the queries are correct at exactly the steps whose
+        # prediction needs attention — breaking the cold-start loop where
+        # argmax queries are garbage at every attention-dependent step
+        # and the reconstructor learns to ignore v̂ (see
+        # experiments/README.md round-2 finding).  Inference grounding
+        # still queries generated words either way.
+        if getattr(cfg, "cycle_localize_gt", False):
+            gen_words = targets
+        else:
+            gen_words = jnp.argmax(logits_dec, axis=-1).astype(jnp.int32)
+        # (b) localize each query word over the regions.
         _, v_hat = core.localize(params, cfg, gen_words, v_enc,
                                  arrays["region_mask"])
         # (c) reconstruct the GT caption with context := v̂_t, same params.

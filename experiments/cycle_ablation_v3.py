@@ -202,24 +202,28 @@ def main():
           flush=True)
     steps_per_epoch = dd.num_pairs // batch
 
+    arms = os.environ.get("CVC_V3_ARMS", "plain,cycle,cycle_gt").split(",")
     tc = TrainConfig(learning_rate=2e-3, grad_clip=5.0, weight_decay=1e-4,
                      learning_rate_decay_start=int(epochs * 0.7),
                      learning_rate_decay_every=max(epochs // 7, 1),
                      learning_rate_decay_rate=0.5)
     opt = make_optimizer(tc, steps_per_epoch)
+    mc_gt = replace(mc, cycle_localize_gt=True)
     steps = {
-        False: make_resident_train_step(mc, replace(tc, enable_cycle=False),
-                                        opt),
-        True: make_resident_train_step(mc, replace(tc, enable_cycle=True),
-                                       opt),
+        "plain": make_resident_train_step(mc, replace(tc, enable_cycle=False),
+                                          opt),
+        "cycle": make_resident_train_step(mc, replace(tc, enable_cycle=True),
+                                          opt),
+        "cycle_gt": make_resident_train_step(
+            mc_gt, replace(tc, enable_cycle=True), opt),
     }
     recon_probe = make_recon_probe(mc)
     fast_probe = make_fast_probe(mc, val_ds)
 
-    def train_epochs(state, rng, cycle_on, e0, e1, tag, history):
+    def train_epochs(state, rng, arm, e0, e1, tag, history):
         t0 = time.time()
         for epoch in range(e0, e1):
-            step = steps[cycle_on]
+            step = steps[arm]
             for idx in dd.epoch_batches(batch, seed=epoch * 7919 + 13):
                 state, m = step(state, dd.data, jnp.asarray(idx), rng)
             if (epoch + 1) % probe_every == 0 or epoch == e1 - 1:
@@ -263,33 +267,30 @@ def main():
         params = core.init_params(jax.random.PRNGKey(seed), mc)
         state = TrainState.create(params, opt)
         hist_w = []
-        state = train_epochs(state, rng, False, 0, warmup, f"s{seed}/warm",
-                             hist_w)
+        state = train_epochs(state, rng, "plain", 0, warmup,
+                             f"s{seed}/warm", hist_w)
         branch = snapshot(state)
 
-        # the train step donates its input state — each arm must get its
-        # OWN copy of the branch point or the second arm reads freed buffers
-        hist_p = list(hist_w)
-        state_p = train_epochs(snapshot(branch), rng, False, warmup, epochs,
-                               f"s{seed}/plain", hist_p)
-        res_p = final_eval(state_p, f"s{seed}_plain")
-        del state_p
+        seed_res = {}
+        for arm in arms:
+            # the train step donates its input state — each arm must get
+            # its OWN copy of the branch point or later arms read freed
+            # buffers
+            hist = list(hist_w)
+            st = train_epochs(snapshot(branch), rng, arm, warmup, epochs,
+                              f"s{seed}/{arm}", hist)
+            res = final_eval(st, f"s{seed}_{arm}")
+            seed_res[arm] = {"final": res, "history": hist}
+            del st
+        del branch
 
-        hist_c = list(hist_w)
-        state_c = train_epochs(snapshot(branch), rng, True, warmup, epochs,
-                               f"s{seed}/cycle", hist_c)
-        res_c = final_eval(state_c, f"s{seed}_cycle")
-        del state_c, branch
-
-        all_results["seeds"][str(seed)] = {
-            "plain": {"final": res_p, "history": hist_p},
-            "cycle": {"final": res_c, "history": hist_c},
-        }
+        all_results["seeds"][str(seed)] = seed_res
         json.dump(all_results, open(RESULTS, "w"), indent=1)
         for k in ("CIDEr", "F1_all", "F1_loc", "attn_accuracy",
                   "F1_loc_localizer", "vhat_dependence"):
-            print(f"  seed{seed} {k}: plain={res_p.get(k, 0):.4f}"
-                  f" cycle={res_c.get(k, 0):.4f}", flush=True)
+            print(f"  seed{seed} {k}: " + " ".join(
+                f"{a}={seed_res[a]['final'].get(k, 0):.4f}" for a in arms),
+                flush=True)
 
     # cross-seed summary
     def agg(arm, key):
@@ -300,11 +301,13 @@ def main():
     summary = {}
     for k in ("CIDEr", "F1_all", "F1_loc", "attn_accuracy",
               "F1_all_localizer", "F1_loc_localizer", "vhat_dependence"):
-        (mp, sp), (mC, sC) = agg("plain", k), agg("cycle", k)
-        summary[k] = {"plain_mean": mp, "plain_std": sp,
-                      "cycle_mean": mC, "cycle_std": sC}
-        print(f"SUMMARY {k}: plain={mp:.4f}±{sp:.4f} "
-              f"cycle={mC:.4f}±{sC:.4f}", flush=True)
+        summary[k] = {}
+        parts = []
+        for a in arms:
+            m, s = agg(a, k)
+            summary[k][a] = {"mean": m, "std": s}
+            parts.append(f"{a}={m:.4f}±{s:.4f}")
+        print(f"SUMMARY {k}: " + " ".join(parts), flush=True)
     all_results["summary"] = summary
     json.dump(all_results, open(RESULTS, "w"), indent=1)
     print("DONE", flush=True)

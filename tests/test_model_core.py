@@ -195,3 +195,22 @@ def test_obj_interact_path():
     arrays = {k: jnp.asarray(v) for k, v in random_batch(cfg, 2, 4).items()}
     loss, _ = cyclical_loss(params, cfg, arrays, enable_cycle=True)
     assert np.isfinite(float(loss))
+
+
+def test_cycle_localize_gt_variant(setup):
+    """cycle_localize_gt=True queries the localizer with TARGET words:
+    the loss changes (different v-hat), localizer still gets gradient,
+    and the decode XE term is untouched."""
+    import dataclasses
+    cfg, params, arrays = setup
+    cfg_gt = dataclasses.replace(cfg, cycle_localize_gt=True)
+    l_arg, m_arg = cyclical_loss(params, cfg, arrays, enable_cycle=True)
+    l_gt, m_gt = cyclical_loss(params, cfg_gt, arrays, enable_cycle=True)
+    np.testing.assert_allclose(float(m_arg["loss_decode"]),
+                               float(m_gt["loss_decode"]), rtol=1e-6)
+    assert float(m_arg["loss_recon"]) != float(m_gt["loss_recon"])
+    g = jax.grad(lambda p: cyclical_loss(p, cfg_gt, arrays,
+                                         enable_cycle=True)[0])(params)
+    loc = jnp.concatenate([x.ravel() for x in
+                           jax.tree_util.tree_leaves(g["localizer"])])
+    assert float(jnp.abs(loc).max()) > 0.0

@@ -59,3 +59,83 @@ def test_convert_gvd_flat_layout(tmp_path):
     np.testing.assert_allclose(ex.boxes[0], [0, 0, 0.5, 0.5])  # normalized
     assert ds.class_names == ["dog"]
     assert ex.entities[0].word_idx == 1
+
+
+def test_gvd_dress_rehearsal_convert_train_eval(tmp_path):
+    """Full rehearsal (VERDICT r1 #7): a GVD-vintage dump (flat
+    '<id>_features' HDF5, pixel-coordinate boxes, raw annotation list)
+    goes through convert_gvd_data -> build_vocab -> 2 real training
+    epochs with validation eval -> checkpoint on disk."""
+    rng = np.random.default_rng(0)
+    n_train, n_val, R, D = 10, 4, 8, 32
+    names = ["dog", "cat", "horse"]
+    src_h5 = str(tmp_path / "src.h5")
+    src_images = []
+    with h5py.File(src_h5, "w") as f:
+        for i in range(n_train + n_val):
+            img = f"im{i}"
+            f.create_dataset(f"{img}_features",
+                             data=rng.normal(size=(R, D)).astype(np.float32))
+            boxes = np.zeros((R, 4), np.float32)
+            boxes[:, 0] = rng.uniform(0, 200, R)
+            boxes[:, 1] = rng.uniform(0, 150, R)
+            boxes[:, 2] = boxes[:, 0] + rng.uniform(20, 100, R)
+            boxes[:, 3] = boxes[:, 1] + rng.uniform(20, 100, R)
+            f.create_dataset(f"{img}_boxes", data=boxes)
+            f.create_dataset(f"{img}_classes",
+                             data=rng.integers(0, 3, R).astype(np.int32))
+            cname = names[i % 3]
+            src_images.append({
+                "id": img, "split": "train" if i < n_train else "val",
+                "width": 320, "height": 240,
+                "captions": [f"a {cname} in the park",
+                             f"the {cname} is running"],
+                "entities": [{"caption_idx": 0, "word_idx": 1,
+                              "class": cname,
+                              "box": [10.0, 10.0, 120.0, 100.0]}]})
+    src_json = str(tmp_path / "src.json")
+    json.dump(src_images, open(src_json, "w"))
+
+    out_h5 = str(tmp_path / "feats.h5")
+    out_json = str(tmp_path / "ann.json")
+    r = subprocess.run(
+        [sys.executable, "tools/convert_gvd_data.py",
+         "--src_features", src_h5, "--src_annotations", src_json,
+         "--out_features", out_h5, "--out_annotations", out_json],
+        capture_output=True, text=True, cwd=".")
+    assert r.returncode == 0, r.stderr
+
+    vocab_json = str(tmp_path / "vocab.json")
+    r = subprocess.run(
+        [sys.executable, "tools/build_vocab.py", "--annotation_file",
+         out_json, "--out", vocab_json, "--min_count", "1"],
+        capture_output=True, text=True, cwd=".")
+    assert r.returncode == 0, r.stderr
+
+    from cvc_tpu.config import Config
+    from cvc_tpu.training.loop import train
+    cfg = Config()
+    cfg.data.dataset = "flickr30k"
+    cfg.data.feature_file = out_h5
+    cfg.data.annotation_file = out_json
+    cfg.data.vocab_file = vocab_json
+    cfg.data.batch_size = 4
+    m = cfg.model
+    m.seq_length = 8
+    m.num_regions = 8
+    m.feat_dim = D
+    m.rnn_size = 32
+    m.input_encoding_size = 16
+    m.att_hid_size = 24
+    m.num_classes = 8
+    m.class_emb_dim = 8
+    m.drop_prob_lm = 0.0
+    cfg.train.checkpoint_path = str(tmp_path / "ckpt")
+    cfg.train.max_epochs = 2
+    cfg.train.num_devices = 1
+    infos = train(cfg)
+    assert infos["epoch"] == 2
+    assert infos["final_step"] > 0
+    assert (tmp_path / "ckpt").exists()
+    # val eval produced caption metrics (best_cider recorded, >= 0)
+    assert infos["best_cider"] >= 0.0
