@@ -80,17 +80,21 @@ def _beam_step(params, cfg, carry, prev_word, v_enc, keys, region_mask,
     gates1 = (emb @ w_e + vg_pre_k
               + h_lang @ w_hl
               + h_att @ al["wh"].astype(dtype))
-    h_att, c_att = core.lstm_cell(gates1, c_att)
-
-    q = (h_att @ att["wh"].astype(dtype)
-         + att["b"].astype(dtype)).reshape(B, K, -1)      # [B, K, A]
     if getattr(cfg, "use_pallas", False):
+        # one kernel for the whole step middle: LSTM1 gating -> q proj ->
+        # masked attention -> MXU context (intermediates stay in VMEM)
         from cvc_tpu.ops.dispatch import pallas_interpret
-        from cvc_tpu.ops.pallas.beam_attention import fused_beam_attention
-        ctx, alpha = fused_beam_attention(keys, q, att["w"].astype(dtype),
-                                          v_enc, region_mask, 4,
-                                          pallas_interpret())
+        from cvc_tpu.ops.pallas.decoder_step import fused_beam_decoder_core
+        h_att, c_att, ctx, alpha = fused_beam_decoder_core(
+            gates1.reshape(B, K, -1), c_att.reshape(B, K, -1), keys, v_enc,
+            region_mask, att["wh"].astype(dtype), att["b"].astype(dtype),
+            att["w"].astype(dtype), 8, pallas_interpret())
+        h_att = h_att.reshape(B * K, -1)
+        c_att = c_att.reshape(B * K, -1)
     else:
+        h_att, c_att = core.lstm_cell(gates1, c_att)
+        q = (h_att @ att["wh"].astype(dtype)
+             + att["b"].astype(dtype)).reshape(B, K, -1)  # [B, K, A]
         e = jnp.tanh(keys[:, None, :, :] + q[:, :, None, :])  # [B,K,S,A]
         scores = jnp.einsum("bksa,a->bks", e, att["w"].astype(dtype))
         from cvc_tpu.ops.primitives import masked_softmax

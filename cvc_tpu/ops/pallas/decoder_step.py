@@ -1,0 +1,154 @@
+"""Fused beam-decoder core: att-LSTM gating -> attention -> context, one
+Pallas kernel (VERDICT r1 #4: fuse the decoder step; context matvec on
+the MXU).
+
+Scope note (why this is the *maximal* single-kernel fusion at flagship
+shapes, not the whole step): the step's weight-bearing matmuls need
+  w_e/w_hl/wh1 (E+2H)x4H ~ 20 MB, wx2 2Hx4H ~ 16 MB, logit HxV ~ 17 MB
+in bf16 — each alone near or over the ~16 MB VMEM budget, so a kernel
+holding them resident is impossible, and re-streaming them per batch
+block would multiply HBM traffic that XLA's own matmul pipelining
+already hides.  What XLA does NOT guarantee is keeping the *step-local
+intermediates* out of HBM: gates1 [R,4H], h_att [R,H], q [R,A], the
+[B,K,S,A] tanh tensor, alpha, ctx.  This kernel computes that whole
+middle section in VMEM:
+
+    h_att,c_att = lstm(gates1, c_att)                 (VPU)
+    q           = h_att @ att_wh + att_b              (MXU, 1 MB weight)
+    e           = tanh(keys + q)    [bB,K,S,A]        (VPU, VMEM-only)
+    alpha       = masked softmax(e . att_w)           (f32)
+    ctx         = alpha @ v_enc                       (MXU, per image)
+
+Region tensors stay per-image ([B,S,...]) and are shared across the K
+beams (same layout win as models/decoding._beam_step).  Inference-only:
+beam/greedy decode needs no VJP; the train-time scan keeps the existing
+fused pieces with custom VJPs.
+
+Oracle: `beam_core_oracle` (pure jnp) — parity-tested in
+tests/test_pallas_kernels.py; `interpret=True` runs on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG = -1e30
+
+
+def _kernel(gates1_ref, c_att_ref, keys_ref, v_ref, mask_ref,
+            att_wh_ref, att_bw_ref,
+            h_out, c_out, ctx_out, alpha_out):
+    bB, K, H4 = gates1_ref.shape
+    H = c_att_ref.shape[-1]
+    S = keys_ref.shape[1]
+    A = att_wh_ref.shape[-1]
+    dtype = keys_ref.dtype
+
+    # ---- att-LSTM gating (VPU, f32 internals) --------------------------
+    gates = gates1_ref[:].astype(jnp.float32)
+    c = c_att_ref[:].astype(jnp.float32)
+    i = jax.nn.sigmoid(gates[..., 0 * H:1 * H])
+    f = jax.nn.sigmoid(gates[..., 1 * H:2 * H])
+    g = jnp.tanh(gates[..., 2 * H:3 * H])
+    o = jax.nn.sigmoid(gates[..., 3 * H:4 * H])
+    c_new = f * c + i * g
+    h_new = o * jnp.tanh(c_new)                        # [bB, K, H] f32
+    h_out[:] = h_new.astype(h_out.dtype)
+    c_out[:] = c_new.astype(c_out.dtype)
+
+    # ---- attention query (MXU: [bB*K, H] @ [H, A]) ---------------------
+    att_bw = att_bw_ref[:]                             # [2, A] rows: b, w
+    q = jnp.dot(h_new.reshape(bB * K, H).astype(dtype), att_wh_ref[:],
+                preferred_element_type=jnp.float32)
+    q = q + att_bw[0][None, :].astype(jnp.float32)
+    q = q.reshape(bB, K, A).astype(dtype)
+
+    # ---- additive scores + masked softmax (VMEM-only [bB,K,S,A]) ------
+    e = jnp.tanh(keys_ref[:][:, None, :, :] + q[:, :, None, :])
+    scores = jnp.sum(e.astype(jnp.float32)
+                     * att_bw[1][None, None, None, :].astype(jnp.float32),
+                     axis=-1)                          # [bB, K, S] f32
+    mask = mask_ref[:]                                 # [bB, S]
+    masked = jnp.where(mask[:, None, :] > 0, scores, NEG)
+    m = jnp.max(masked, axis=-1, keepdims=True)
+    ex = jnp.exp(masked - m) * (mask[:, None, :] > 0)
+    denom = jnp.maximum(jnp.sum(ex, axis=-1, keepdims=True), 1e-9)
+    alpha = ex / denom                                 # [bB, K, S] f32
+    alpha_out[:] = alpha
+
+    # ---- context on the MXU: per image, [K, S] @ [S, H] ---------------
+    v = v_ref[:]                                       # [bB, S, H]
+
+    def body(b, _):
+        ctx_b = jnp.dot(alpha[b].astype(dtype), v[b],
+                        preferred_element_type=jnp.float32)
+        ctx_out[b] = ctx_b.astype(ctx_out.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, bB, body, 0)
+
+
+def fused_beam_decoder_core(gates1, c_att, keys, v_enc, region_mask,
+                            att_wh, att_b, att_w, block_b: int = 8,
+                            interpret: bool = False):
+    """gates1 [B,K,4H], c_att [B,K,H], keys [B,S,A], v_enc [B,S,H],
+    region_mask [B,S], att_wh [H,A], att_b [A], att_w [A]
+    -> (h_att [B,K,H], c_att [B,K,H], ctx [B,K,H], alpha [B,K,S] f32)."""
+    B, K, H4 = gates1.shape
+    H = H4 // 4
+    S, A = keys.shape[1], keys.shape[2]
+    block_b = min(block_b, B)
+    grid = (pl.cdiv(B, block_b),)
+    att_bw = jnp.stack([att_b, att_w]).astype(keys.dtype)   # [2, A]
+
+    def bspec(shape_tail, idx=lambda i: None):
+        return pl.BlockSpec((block_b,) + shape_tail,
+                            lambda i: (i,) + (0,) * len(shape_tail),
+                            memory_space=pltpu.VMEM)
+
+    kernel = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            bspec((K, 4 * H)),
+            bspec((K, H)),
+            bspec((S, A)),
+            bspec((S, H)),
+            bspec((S,)),
+            pl.BlockSpec((H, A), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, A), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            bspec((K, H)), bspec((K, H)), bspec((K, H)), bspec((K, S)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, K, H), c_att.dtype),
+            jax.ShapeDtypeStruct((B, K, H), c_att.dtype),
+            jax.ShapeDtypeStruct((B, K, H), v_enc.dtype),
+            jax.ShapeDtypeStruct((B, K, S), jnp.float32),
+        ),
+        interpret=interpret,
+    )
+    return kernel(gates1, c_att, keys, v_enc, region_mask, att_wh, att_bw)
+
+
+def beam_core_oracle(gates1, c_att, keys, v_enc, region_mask,
+                     att_wh, att_b, att_w):
+    """Pure-jnp reference for the fused kernel (same math, XLA lowering)."""
+    from cvc_tpu.ops.primitives import lstm_cell, masked_softmax
+    B, K, H4 = gates1.shape
+    H = H4 // 4
+    dtype = keys.dtype
+    h, c = lstm_cell(gates1.reshape(B * K, H4), c_att.reshape(B * K, H))
+    q = (h.astype(dtype) @ att_wh + att_b.astype(dtype)).reshape(B, K, -1)
+    e = jnp.tanh(keys[:, None, :, :] + q[:, :, None, :])
+    scores = jnp.einsum("bksa,a->bks", e.astype(jnp.float32),
+                        att_w.astype(jnp.float32))
+    alpha = masked_softmax(scores, region_mask[:, None, :])
+    ctx = jnp.einsum("bks,bsh->bkh", alpha.astype(dtype), v_enc)
+    return (h.reshape(B, K, H), c.reshape(B, K, H), ctx, alpha)

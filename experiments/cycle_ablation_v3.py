@@ -49,7 +49,7 @@ from cvc_tpu.models import core
 from cvc_tpu.training import TrainState, make_optimizer
 from cvc_tpu.training.step import make_resident_train_step
 
-RESULTS = "experiments/cycle_ablation_v3_results.json"
+RESULTS = os.environ.get("CVC_V3_RESULTS", "experiments/cycle_ablation_v3_results.json")
 
 
 def make_fast_probe(mc, val_ds):

@@ -113,3 +113,50 @@ def test_xent_grads_match_oracle():
     gp = jax.grad(loss_p)(logits)
     go = jax.grad(loss_o)(logits)
     np.testing.assert_allclose(gp, go, rtol=2e-4, atol=2e-6)
+
+
+def test_fused_beam_decoder_core_matches_oracle():
+    """The whole fused middle of a beam step (LSTM1 gating -> q proj ->
+    masked attention -> MXU context) vs the jnp oracle."""
+    from cvc_tpu.ops.pallas.decoder_step import (beam_core_oracle,
+                                                 fused_beam_decoder_core)
+    rng = np.random.default_rng(0)
+    B, K, S, A, H = 6, 5, 16, 32, 24
+    gates1 = jnp.asarray(rng.normal(size=(B, K, 4 * H)), jnp.float32)
+    c_att = jnp.asarray(rng.normal(size=(B, K, H)), jnp.float32)
+    keys = jnp.asarray(rng.normal(size=(B, S, A)), jnp.float32)
+    v_enc = jnp.asarray(rng.normal(size=(B, S, H)), jnp.float32)
+    mask = jnp.asarray(
+        (np.arange(S)[None, :] < rng.integers(2, S + 1, size=(B, 1)))
+        .astype(np.float32))
+    att_wh = jnp.asarray(rng.normal(size=(H, A)), jnp.float32)
+    att_b = jnp.asarray(rng.normal(size=(A,)), jnp.float32)
+    att_w = jnp.asarray(rng.normal(size=(A,)), jnp.float32)
+
+    outs_p = fused_beam_decoder_core(gates1, c_att, keys, v_enc, mask,
+                                     att_wh, att_b, att_w, block_b=4,
+                                     interpret=True)
+    outs_o = beam_core_oracle(gates1, c_att, keys, v_enc, mask,
+                              att_wh, att_b, att_w)
+    for p, o, name in zip(outs_p, outs_o, ("h", "c", "ctx", "alpha")):
+        np.testing.assert_allclose(p, o, rtol=2e-5, atol=2e-5,
+                                   err_msg=name)
+
+
+def test_fused_beam_decoder_core_fully_masked_row():
+    from cvc_tpu.ops.pallas.decoder_step import fused_beam_decoder_core
+    rng = np.random.default_rng(1)
+    B, K, S, A, H = 2, 3, 8, 16, 8
+    gates1 = jnp.asarray(rng.normal(size=(B, K, 4 * H)), jnp.float32)
+    c_att = jnp.zeros((B, K, H), jnp.float32)
+    keys = jnp.asarray(rng.normal(size=(B, S, A)), jnp.float32)
+    v_enc = jnp.asarray(rng.normal(size=(B, S, H)), jnp.float32)
+    mask = jnp.zeros((B, S), jnp.float32)  # no valid regions at all
+    att_wh = jnp.asarray(rng.normal(size=(H, A)), jnp.float32)
+    att_b = jnp.zeros((A,), jnp.float32)
+    att_w = jnp.ones((A,), jnp.float32)
+    h, c, ctx, alpha = fused_beam_decoder_core(
+        gates1, c_att, keys, v_enc, mask, att_wh, att_b, att_w,
+        block_b=2, interpret=True)
+    assert np.isfinite(np.asarray(ctx)).all()
+    np.testing.assert_allclose(np.asarray(alpha), 0.0, atol=1e-9)
