@@ -51,7 +51,12 @@ def language_eval(predictions: list[dict],
     else:
         out["METEOR"], _ = corpus_meteor(candidates, refs_tok)
         out["METEOR_source"] = "python-port(exact+stem)"
-    out["SPICE"] = None  # requires a scene-graph parser (Java); not faked
+    from cvc_tpu.evaluation import spice_jar
+    if spice_jar.jar_available():
+        # same tokenized inputs as the other scorers (pycocoevalcap order)
+        out["SPICE"], _ = spice_jar.compute_spice(candidates, refs_tok)
+    else:
+        out["SPICE"] = None  # needs the Java scene-graph parser; not faked
     out["n_scored"] = len(ids)
 
     if out_path:

@@ -294,3 +294,15 @@ def test_lemma_rules():
     assert lemma("bus") == "bus"
     assert lemma("grass") == "grass"
     assert lemma("tennis") == "tennis"
+
+
+def test_jar_drivers_protocol_without_jvm():
+    """No JVM in this sandbox: the jar drivers must report unavailable
+    (not crash) and language_eval must fall back cleanly."""
+    from cvc_tpu.evaluation import meteor_jar, spice_jar
+    assert meteor_jar.jar_available() is False
+    assert spice_jar.jar_available() is False
+    with pytest.raises(RuntimeError):
+        meteor_jar.MeteorJar()
+    with pytest.raises(RuntimeError):
+        spice_jar.compute_spice({"1": "a dog"}, {"1": ["a dog"]})
