@@ -182,14 +182,21 @@ def main():
     epochs = int(os.environ.get("CVC_V3_EPOCHS", "48"))
     warmup = int(os.environ.get("CVC_V3_WARMUP", "8"))
     probe_every = int(os.environ.get("CVC_V3_PROBE", "4"))
+    # Harder-world knobs (v3c): more regions dilute the attention gradient
+    # that lets the PLAIN arm self-align in the 36-region world (3/5 seeds
+    # in cycle_ablation_v3b_results.json), isolating the cycle's marginal
+    # contribution; more classes harden the word->region matching.
+    regions = int(os.environ.get("CVC_V3_REGIONS", "36"))
+    classes = int(os.environ.get("CVC_V3_CLASSES", "24"))
     batch = 128
 
     mc = ModelConfig(vocab_size=128, input_encoding_size=64, rnn_size=192,
-                     att_hid_size=96, feat_dim=512, num_regions=36,
-                     seq_length=16, num_classes=24, class_emb_dim=16,
+                     att_hid_size=96, feat_dim=512, num_regions=regions,
+                     seq_length=16, num_classes=classes, class_emb_dim=16,
                      drop_prob_lm=0.4, use_global_feat=True)
-    world = dict(num_regions=36, feat_dim=512, seq_length=16,
-                 word_order="shuffled", unique_colors=True)
+    world = dict(num_regions=regions, feat_dim=512, seq_length=16,
+                 num_classes=classes, word_order="shuffled",
+                 unique_colors=True)
     print(f"v3: seeds={seeds} images={images} epochs={epochs} "
           f"warmup={warmup} world={world}", flush=True)
     train_ds = make_synthetic_dataset(num_images=images, split="train",
@@ -220,10 +227,17 @@ def main():
     recon_probe = make_recon_probe(mc)
     fast_probe = make_fast_probe(mc, val_ds)
 
+    # Composite arms: "boot" switches from GT-word localizer queries (break
+    # the cold start: argmax queries are garbage exactly at the attention-
+    # dependent steps, see experiments/README.md) to the reference's argmax
+    # queries once the context->word pathway carries signal.
+    boot_switch = warmup + int(os.environ.get("CVC_V3_BOOT_EPOCHS", "16"))
+    schedule = {"boot": lambda ep: "cycle_gt" if ep < boot_switch else "cycle"}
+
     def train_epochs(state, rng, arm, e0, e1, tag, history):
         t0 = time.time()
         for epoch in range(e0, e1):
-            step = steps[arm]
+            step = steps[schedule[arm](epoch) if arm in schedule else arm]
             for idx in dd.epoch_batches(batch, seed=epoch * 7919 + 13):
                 state, m = step(state, dd.data, jnp.asarray(idx), rng)
             if (epoch + 1) % probe_every == 0 or epoch == e1 - 1:
@@ -259,7 +273,7 @@ def main():
 
     all_results = {"config": {"images": images, "epochs": epochs,
                               "warmup": warmup, "world": world,
-                              "chance_acc": 1.0 / 36},
+                              "chance_acc": 1.0 / regions},
                    "seeds": {}}
     for seed in seeds:
         print(f"== seed {seed} ==", flush=True)
