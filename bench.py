@@ -166,7 +166,12 @@ def main():
     # quality were verified equivalent to f32 on the synthetic world
     # (loss 3.650 vs 3.652, CIDEr within noise) and it is ~6% faster.
     dtype = "float32" if "--fp32" in sys.argv else "bfloat16"
-    cfg = flagship_config(use_pallas="--pallas" in sys.argv, dtype=dtype)
+    # use_pallas=None = auto: the fused Pallas kernels on real TPU (they
+    # measured >= XLA at these shapes, experiments/pallas_vs_xla.json),
+    # XLA fusion elsewhere.  --no-pallas forces the XLA path for A/B runs.
+    up = False if "--no-pallas" in sys.argv else (
+        True if "--pallas" in sys.argv else None)
+    cfg = flagship_config(use_pallas=up, dtype=dtype)
     params = core.init_params(jax.random.PRNGKey(0), cfg)
 
     caps_per_sec = bench_decode(cfg, params)

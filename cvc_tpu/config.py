@@ -63,8 +63,10 @@ class ModelConfig:
     use_global_feat: bool = True      # False: zero v_global (all object
     #                                   information must flow through
     #                                   attention; ablation/diagnostic knob)
-    # Pallas kernel switches (jnp oracle always available; see cvc_tpu/ops/pallas/)
-    use_pallas: bool = False
+    # Pallas kernel switch (jnp oracle always available; see cvc_tpu/ops/pallas/).
+    # None = auto: fused Pallas kernels on real TPU, XLA fusion elsewhere
+    # (resolved by cvc_tpu.ops.dispatch.use_pallas).
+    use_pallas: bool | None = None
     dtype: str = "float32"            # compute dtype: "float32" | "bfloat16"
     remat: bool = False               # jax.checkpoint the decode step
     #                                   (recompute activations in bwd —
@@ -218,7 +220,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cycle_weight", type=float, default=1.0)
     p.add_argument("--cycle_localize_gt", type=int, default=0)
     p.add_argument("--cycle_after", type=int, default=0)
-    p.add_argument("--use_pallas", type=int, default=0)
+    p.add_argument("--use_pallas", type=int, default=-1,
+                   help="-1 auto (Pallas on TPU), 0 off, 1 on")
     p.add_argument("--attn_supervision_weight", type=float, default=0.0,
                    help=">0 trains grounding with box supervision (the "
                         "GVD-supervised baseline; the cyclical method "
@@ -290,7 +293,7 @@ def _defaults_from_config(cfg: Config) -> dict:
         obj_interact=int(m.obj_interact), enable_cycle=int(t.enable_cycle),
         cycle_weight=m.cycle_weight, cycle_after=t.cycle_after,
         cycle_localize_gt=int(m.cycle_localize_gt),
-        use_pallas=int(m.use_pallas),
+        use_pallas=-1 if m.use_pallas is None else int(m.use_pallas),
         attn_supervision_weight=m.attn_supervision_weight,
         dtype=m.dtype,
         learning_rate=t.learning_rate,
@@ -353,7 +356,7 @@ def config_from_args(argv=None) -> Config:
     m.cycle_weight = args.cycle_weight
     m.cycle_localize_gt = bool(args.cycle_localize_gt)
     m.attn_supervision_weight = args.attn_supervision_weight
-    m.use_pallas = bool(args.use_pallas)
+    m.use_pallas = None if args.use_pallas < 0 else bool(args.use_pallas)
     m.dtype = args.dtype
     if args.dataset == "anet" and args.num_frames == 1:
         m.num_frames = 10

@@ -193,7 +193,8 @@ def decoder_step(params, cfg, carry, inputs, v_enc, keys, region_mask,
     h_att, c_att, h_lang, c_lang = carry
     al, att, ll = params["att_lstm"], params["attention"], params["lang_lstm"]
     dtype = keys.dtype
-    use_pallas = getattr(cfg, "use_pallas", False)
+    from cvc_tpu.ops.dispatch import use_pallas as _resolve_pallas
+    use_pallas = _resolve_pallas(cfg)
     if use_pallas:
         from cvc_tpu.ops.dispatch import pallas_interpret
         from cvc_tpu.ops.pallas import (fused_additive_attention,

@@ -25,8 +25,9 @@ from cvc_tpu.ops.primitives import dropout, masked_xent
 
 
 def _xent(cfg, logits, targets, mask):
-    """Masked token XE; fused Pallas path when cfg.use_pallas."""
-    if getattr(cfg, "use_pallas", False):
+    """Masked token XE; fused Pallas path when cfg.use_pallas resolves on."""
+    from cvc_tpu.ops.dispatch import use_pallas
+    if use_pallas(cfg):
         from cvc_tpu.ops.dispatch import pallas_interpret
         from cvc_tpu.ops.pallas import fused_masked_xent
         B, L, V = logits.shape

@@ -80,7 +80,8 @@ def _beam_step(params, cfg, carry, prev_word, v_enc, keys, region_mask,
     gates1 = (emb @ w_e + vg_pre_k
               + h_lang @ w_hl
               + h_att @ al["wh"].astype(dtype))
-    if getattr(cfg, "use_pallas", False):
+    from cvc_tpu.ops.dispatch import use_pallas
+    if use_pallas(cfg):
         # one kernel for the whole step middle: LSTM1 gating -> q proj ->
         # masked attention -> MXU context (intermediates stay in VMEM)
         from cvc_tpu.ops.dispatch import pallas_interpret

@@ -82,15 +82,14 @@ def _kernel(gates1_ref, c_att_ref, keys_ref, v_ref, mask_ref,
     alpha_out[:] = alpha
 
     # ---- context on the MXU: per image, [K, S] @ [S, H] ---------------
+    # Static unroll over the (small, compile-time) batch block: Mosaic's
+    # TC lowering has no dynamic_slice, so a fori_loop with traced index
+    # fails to compile on real TPU — b here is a Python int.
     v = v_ref[:]                                       # [bB, S, H]
-
-    def body(b, _):
+    for b in range(bB):
         ctx_b = jnp.dot(alpha[b].astype(dtype), v[b],
                         preferred_element_type=jnp.float32)
         ctx_out[b] = ctx_b.astype(ctx_out.dtype)
-        return 0
-
-    jax.lax.fori_loop(0, bB, body, 0)
 
 
 def fused_beam_decoder_core(gates1, c_att, keys, v_enc, region_mask,
