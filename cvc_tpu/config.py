@@ -121,6 +121,16 @@ class TrainConfig:
     max_epochs: int = 30              # reference: --max_epochs
     enable_cycle: bool = True         # cyclical decode->localize->reconstruct on/off
     cycle_after: int = 0              # enable the cycle only from this epoch
+    cycle_gt_until: int = 0           # epochs in [cycle_after, this) run the
+    #                                   cycle with GT-WORD localizer queries
+    #                                   (cold-start bootstrap, same zero-box
+    #                                   budget), then switch to the
+    #                                   reference's argmax queries.  The
+    #                                   v3c ablation shows the pure argmax
+    #                                   cycle is destructive when baseline
+    #                                   attention starts at chance, while a
+    #                                   short bootstrap lets it self-amplify
+    #                                   (experiments/README.md round-2).
     #                                   (decoder pretraining stage)
     # Scheduled sampling (reference lineage: --scheduled_sampling_start etc.)
     scheduled_sampling_start: int = -1        # epoch; -1 = off
@@ -220,6 +230,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cycle_weight", type=float, default=1.0)
     p.add_argument("--cycle_localize_gt", type=int, default=0)
     p.add_argument("--cycle_after", type=int, default=0)
+    p.add_argument("--cycle_gt_until", type=int, default=0,
+                   help="GT-word localizer queries until this epoch "
+                        "(cycle cold-start bootstrap), then argmax")
     p.add_argument("--use_pallas", type=int, default=-1,
                    help="-1 auto (Pallas on TPU), 0 off, 1 on")
     p.add_argument("--attn_supervision_weight", type=float, default=0.0,
@@ -292,6 +305,7 @@ def _defaults_from_config(cfg: Config) -> dict:
         att_hid_size=m.att_hid_size, drop_prob_lm=m.drop_prob_lm,
         obj_interact=int(m.obj_interact), enable_cycle=int(t.enable_cycle),
         cycle_weight=m.cycle_weight, cycle_after=t.cycle_after,
+        cycle_gt_until=t.cycle_gt_until,
         cycle_localize_gt=int(m.cycle_localize_gt),
         use_pallas=-1 if m.use_pallas is None else int(m.use_pallas),
         attn_supervision_weight=m.attn_supervision_weight,
@@ -376,6 +390,7 @@ def config_from_args(argv=None) -> Config:
     t.scst_xe_weight = args.scst_xe_weight
     t.enable_cycle = bool(args.enable_cycle)
     t.cycle_after = args.cycle_after
+    t.cycle_gt_until = args.cycle_gt_until
     t.checkpoint_path = args.checkpoint_path
     t.start_from = args.start_from
     t.save_checkpoint_every = args.save_checkpoint_every

@@ -81,17 +81,28 @@ def train(cfg: Config, max_epochs: int | None = None,
     from dataclasses import replace as _dc_replace
     step_fns = {}
 
-    def get_step_fn(cycle_on: bool):
-        """Two compiled variants when --cycle_after stages the training
-        (decoder pretraining, then the full cycle)."""
-        if cycle_on not in step_fns:
-            tc = _dc_replace(t_cfg, enable_cycle=cycle_on)
-            step_fns[cycle_on] = make_train_step(
-                m_cfg, tc, optimizer, mesh=mesh, state=state,
-                example_arrays=example)
-        return step_fns[cycle_on]
+    def _cycle_stage(epoch: int):
+        """(cycle_on, gt_queries) for this epoch: --cycle_after stages the
+        cycle in after decoder pretraining; --cycle_gt_until additionally
+        runs its first epochs with GT-word localizer queries (cold-start
+        bootstrap; see TrainConfig.cycle_gt_until)."""
+        cycle_on = t_cfg.enable_cycle and epoch >= t_cfg.cycle_after
+        gt_q = bool(m_cfg.cycle_localize_gt) or (
+            cycle_on and epoch < t_cfg.cycle_gt_until)
+        return cycle_on, (cycle_on and gt_q)
 
-    step_fn = get_step_fn(t_cfg.enable_cycle and t_cfg.cycle_after <= 0)
+    def get_step_fn(stage):
+        """One compiled variant per (cycle_on, gt_queries) stage."""
+        if stage not in step_fns:
+            cycle_on, gt_q = stage
+            tc = _dc_replace(t_cfg, enable_cycle=cycle_on)
+            mc = _dc_replace(m_cfg, cycle_localize_gt=gt_q)
+            step_fns[stage] = make_train_step(
+                mc, tc, optimizer, mesh=mesh, state=state,
+                example_arrays=example)
+        return step_fns[stage]
+
+    step_fn = get_step_fn(_cycle_stage(0))
 
     # Device-resident feeding (HBM-sized datasets; also the workaround for
     # this sandbox's per-upload host leak).  Streaming remains the path
@@ -107,12 +118,14 @@ def train(cfg: Config, max_epochs: int | None = None,
                            with_gt_region=m_cfg.attn_supervision_weight > 0)
         resident_steps = {}
 
-        def get_resident_step(cycle_on: bool):
-            if cycle_on not in resident_steps:
+        def get_resident_step(stage):
+            if stage not in resident_steps:
+                cycle_on, gt_q = stage
                 tc = _dc_replace(t_cfg, enable_cycle=cycle_on)
-                resident_steps[cycle_on] = make_resident_train_step(
-                    m_cfg, tc, optimizer)
-            return resident_steps[cycle_on]
+                mc = _dc_replace(m_cfg, cycle_localize_gt=gt_q)
+                resident_steps[stage] = make_resident_train_step(
+                    mc, tc, optimizer)
+            return resident_steps[stage]
 
     logger = MetricLogger(log_dir or f"{t_cfg.checkpoint_path}/logs")
     rng = jax.random.PRNGKey(t_cfg.seed + 1)
@@ -134,11 +147,11 @@ def train(cfg: Config, max_epochs: int | None = None,
             ss_prob = jnp.asarray(
                 min(t_cfg.scheduled_sampling_increase_prob * frac,
                     t_cfg.scheduled_sampling_max_prob), jnp.float32)
-        step_fn = get_step_fn(t_cfg.enable_cycle
-                              and epoch >= t_cfg.cycle_after)
+        stage = _cycle_stage(epoch)
+        step_fn = get_step_fn(stage)
         use_scst = (t_cfg.self_critical_after >= 0
                     and epoch >= t_cfg.self_critical_after)
-        cycle_on = t_cfg.enable_cycle and epoch >= t_cfg.cycle_after
+        cycle_on = stage[0]
         if use_scst and (scst is None or scst["cycle_on"] != cycle_on):
             # reference: switch to SCST after --self_critical_after epochs.
             # The XE blend follows the same --cycle_after staging as the
@@ -161,8 +174,7 @@ def train(cfg: Config, max_epochs: int | None = None,
                 "cycle_on": cycle_on,
             }
         if resident:
-            r_step = get_resident_step(t_cfg.enable_cycle
-                                       and epoch >= t_cfg.cycle_after)
+            r_step = get_resident_step(stage)
             for idx in dd.epoch_batches(cfg.data.batch_size,
                                         seed=cfg.data.seed + epoch):
                 state, metrics = r_step(state, dd.data, jnp.asarray(idx),

@@ -97,6 +97,35 @@ def test_smoke_cycle_after_staging(tmp_path):
     assert infos["epoch"] == 2
 
 
+def test_smoke_cycle_gt_bootstrap(tmp_path):
+    """Three-stage schedule: decoder pretrain (ep0) -> GT-query cycle
+    bootstrap (ep1, --cycle_gt_until 2) -> argmax-query cycle (ep2).
+    The loss log must show a recon loss appearing at ep1 (cycle on)."""
+    import json
+    from cvc_tpu.training.loop import train
+    cfg = _config(tmp_path)
+    cfg.train.cycle_after = 1
+    cfg.train.cycle_gt_until = 2
+    cfg.train.language_eval = False
+    cfg.train.grounding_eval = False
+    cfg.train.losses_log_every = 1
+    infos = train(cfg, max_epochs=3, log_dir=str(tmp_path / "logs"))
+    assert infos["epoch"] == 3
+    recons = {}  # step -> recon loss; equal steps per epoch, 3 epochs
+    with open(tmp_path / "logs" / "metrics.jsonl") as f:
+        for line in f:
+            rec = json.loads(line)
+            if "train/loss_recon" in rec:
+                recons[rec["step"]] = rec["train/loss_recon"]
+    per_epoch = max(recons) // 3
+    by_epoch = {}
+    for s, v in recons.items():
+        by_epoch.setdefault(min((s - 1) // per_epoch, 2), []).append(v)
+    assert max(by_epoch[0]) == 0.0            # pretrain: cycle off
+    assert min(by_epoch[1]) > 0.0             # bootstrap: cycle on (GT q)
+    assert min(by_epoch[2]) > 0.0             # argmax cycle
+
+
 def test_smoke_device_resident(tmp_path):
     """HBM-resident dataset path through the same training loop."""
     from cvc_tpu.training.loop import train
