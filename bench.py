@@ -115,10 +115,10 @@ def train_image_flops(cfg: ModelConfig) -> float:
 
 # ---------------------------------------------------------------------------
 
-def bench_decode(cfg, params) -> float:
+def bench_decode(cfg, params, batch: int = BATCH) -> float:
     decoder = make_decoder(cfg, EvalConfig(beam_size=BEAM, max_length=SEQ,
                                            sample_method="beam"))
-    arrays = random_arrays(cfg, BATCH)
+    arrays = random_arrays(cfg, batch)
     out = decoder(params, arrays)          # compile + warmup
     jax.block_until_ready(out["tokens"])
     # Throughput: submit a stream of batches and sync once — serving
@@ -131,7 +131,7 @@ def bench_decode(cfg, params) -> float:
             out = decoder(params, arrays)
         jax.block_until_ready(out["tokens"])
         best = min(best, (time.perf_counter() - t0) / N_ITERS)
-    return BATCH / best
+    return batch / best
 
 
 def bench_train(cfg, params) -> dict:
@@ -193,6 +193,17 @@ def main():
         ref = float(measured["torch_cpu_caps_per_sec"])
         out["baseline_measured_caps_per_sec"] = ref
         out["vs_baseline_measured"] = round(caps_per_sec / ref, 1)
+
+    if "--no-serving" not in sys.argv:
+        # Serving operating point: batch 256 saturates the MXU rows the
+        # 64-batch baseline point leaves idle (~ +30% caps/s, ~30% MFU;
+        # plateaus by batch 512).  Headline stays batch 64 for cross-round
+        # comparability with BENCH_r01.
+        caps256 = bench_decode(cfg, params, batch=256)
+        out["serving_batch"] = 256
+        out["serving_caps_per_sec"] = round(caps256, 2)
+        out["serving_mfu"] = round(
+            caps256 * gflop_caption * 1e9 / PEAK_BF16_FLOPS, 4)
 
     if "--no-train" not in sys.argv:
         out.update(bench_train(cfg, params))
