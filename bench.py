@@ -50,7 +50,8 @@ def flagship_config(**kw) -> ModelConfig:
     base = dict(vocab_size=8704, input_encoding_size=512, rnn_size=1024,
                 att_hid_size=512, feat_dim=2048, num_regions=128,
                 num_frames=1, seq_length=SEQ, num_classes=512,
-                class_emb_dim=128, drop_prob_lm=0.5)
+                class_emb_dim=128, drop_prob_lm=0.5,
+                scan_unroll=7)  # measured: train step 24.8 -> 18.3 ms
     base.update(kw)
     return ModelConfig(**base)
 

@@ -282,7 +282,8 @@ def decode(params, cfg, v_enc, keys, v_global, emb_seq, region_mask,
         body = jax.checkpoint(body)
 
     xs = (jnp.swapaxes(pre1, 0, 1), jnp.swapaxes(ctx_seq, 0, 1))  # [L, B, *]
-    carry, (h_seq, alphas) = jax.lax.scan(body, init_carry, xs)
+    carry, (h_seq, alphas) = jax.lax.scan(
+        body, init_carry, xs, unroll=getattr(cfg, "scan_unroll", 1))
     return (jnp.swapaxes(h_seq, 0, 1),          # [B, L, H]
             jnp.swapaxes(alphas, 0, 1),         # [B, L, S]
             carry)
@@ -329,7 +330,8 @@ def decode_scheduled_sampling(params, cfg, v_enc, keys, v_global, tokens_in,
     rngs = jax.random.split(rng, L)
     xs = (jnp.swapaxes(tokens_in, 0, 1), rngs)
     (carry, _), (h_seq, alphas) = jax.lax.scan(
-        body, (init_carry, jnp.full((B,), -1, jnp.int32)), xs)
+        body, (init_carry, jnp.full((B,), -1, jnp.int32)), xs,
+        unroll=getattr(cfg, "scan_unroll", 1))
     return jnp.swapaxes(h_seq, 0, 1), jnp.swapaxes(alphas, 0, 1), carry
 
 

@@ -155,7 +155,8 @@ def greedy_decode(params, cfg, arrays, max_len: int, temperature: float = 1.0,
         return (dict(carry=carry, word=nxt, finished=fin, rng=r),
                 (nxt, alpha, tok_lp))
 
-    _, (tokens, alphas, logprobs) = jax.lax.scan(body, init, None, length=L)
+    _, (tokens, alphas, logprobs) = jax.lax.scan(
+        body, init, None, length=L, unroll=getattr(cfg, "scan_unroll", 1))
     return dict(tokens=jnp.swapaxes(tokens, 0, 1),
                 alphas=jnp.swapaxes(alphas, 0, 1),
                 logprobs=jnp.swapaxes(logprobs, 0, 1))
@@ -242,8 +243,8 @@ def beam_search(params, cfg, arrays, beam_size: int, max_len: int,
                      finished=finished, lengths=lengths),
                 (word, parent, alpha))
 
-    s, (words_h, parents_h, alphas_h) = jax.lax.scan(body, init,
-                                                     jnp.arange(L))
+    s, (words_h, parents_h, alphas_h) = jax.lax.scan(
+        body, init, jnp.arange(L), unroll=getattr(cfg, "scan_unroll", 1))
     # words_h [L,B,K], parents_h [L,B,K], alphas_h [L,B,K,S] — alphas_h[t]
     # is indexed by the PRE-selection beam id (the parent at step t).
 

@@ -95,6 +95,24 @@ def test_decode_scan_matches_python_loop(setup):
     np.testing.assert_allclose(alphas, jnp.stack(als, 1), rtol=2e-5, atol=1e-6)
 
 
+def test_decode_scan_unroll_parity(setup):
+    """scan_unroll is a pure scheduling knob: unroll=3 (non-divisor of L,
+    exercising the remainder path) must match unroll=1 exactly."""
+    from dataclasses import replace
+    cfg, params, arrays = setup
+    v_enc, keys, v_global = core.encode_regions(
+        params, cfg, arrays["feats"], arrays["box_geom"],
+        arrays["region_cls"], arrays["region_mask"])
+    emb = core.embed_tokens(params, arrays["tokens"][:, :-1])
+    h1, a1, _ = core.decode(params, cfg, v_enc, keys, v_global, emb,
+                            arrays["region_mask"])
+    cfg3 = replace(cfg, scan_unroll=3)
+    h3, a3, _ = core.decode(params, cfg3, v_enc, keys, v_global, emb,
+                            arrays["region_mask"])
+    np.testing.assert_allclose(h1, h3, rtol=2e-6, atol=1e-7)
+    np.testing.assert_allclose(a1, a3, rtol=2e-6, atol=1e-7)
+
+
 def test_attention_ignores_padded_regions(setup):
     cfg, params, arrays = setup
     _, alphas, *_ = decode_teacher_forced(params, cfg, arrays)
