@@ -75,9 +75,25 @@ class ModelConfig:
     #                                   cuts the cyclical train step 24.8 ->
     #                                   18.3 ms (B=64). Compile time grows
     #                                   with the unroll factor.
+    train_scan_unroll: int = 0        # unroll for the TEACHER-FORCED scans
+    #                                   only (train/eval loss); 0 = inherit
+    #                                   scan_unroll.  The grad scan pays for
+    #                                   deeper unrolling than generation:
+    #                                   full unroll (= max_tokens-1) batches
+    #                                   the per-step weight-grad matmuls and
+    #                                   is another ~6% on v5e (13.8 vs 14.6
+    #                                   ms cyclical grad step, B=64)
     remat: bool = False               # jax.checkpoint the decode step
     #                                   (recompute activations in bwd —
     #                                   trades FLOPs for HBM at big batch)
+    fuse_cycle_scans: bool = True     # merge the decode + reconstruct scans
+    #                                   into ONE scan at 2x batch when the
+    #                                   localizer queries are GT words
+    #                                   (cycle_localize_gt / the
+    #                                   --cycle_gt_until bootstrap phase):
+    #                                   the two passes are then independent,
+    #                                   and B=64 -> 128 rows fills the MXU
+    #                                   sublanes both scans otherwise waste
 
     # Derived/static shapes.
     @property
@@ -244,6 +260,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="-1 auto (Pallas on TPU), 0 off, 1 on")
     p.add_argument("--scan_unroll", type=int, default=1,
                    help="decode-scan unroll factor (TPU perf knob)")
+    p.add_argument("--train_scan_unroll", type=int, default=0,
+                   help="teacher-forced-scan unroll; 0 = inherit "
+                        "scan_unroll (full unroll = seq_length+1 is the "
+                        "measured best for the grad step)")
     p.add_argument("--attn_supervision_weight", type=float, default=0.0,
                    help=">0 trains grounding with box supervision (the "
                         "GVD-supervised baseline; the cyclical method "
@@ -318,6 +338,7 @@ def _defaults_from_config(cfg: Config) -> dict:
         cycle_localize_gt=int(m.cycle_localize_gt),
         use_pallas=-1 if m.use_pallas is None else int(m.use_pallas),
         scan_unroll=m.scan_unroll,
+        train_scan_unroll=m.train_scan_unroll,
         attn_supervision_weight=m.attn_supervision_weight,
         dtype=m.dtype,
         learning_rate=t.learning_rate,
@@ -382,6 +403,7 @@ def config_from_args(argv=None) -> Config:
     m.attn_supervision_weight = args.attn_supervision_weight
     m.use_pallas = None if args.use_pallas < 0 else bool(args.use_pallas)
     m.scan_unroll = args.scan_unroll
+    m.train_scan_unroll = args.train_scan_unroll
     m.dtype = args.dtype
     if args.dataset == "anet" and args.num_frames == 1:
         m.num_frames = 10

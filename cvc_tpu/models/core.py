@@ -180,13 +180,18 @@ def _split_wx_att(wx, E, H):
 
 
 def decoder_step(params, cfg, carry, inputs, v_enc, keys, region_mask,
-                 use_attention: bool):
+                 use_attention: bool, context_mix=None, pallas=None):
     """One fused decode step (consumed by lax.scan and by beam search).
 
     carry:  (h_att, c_att, h_lang, c_lang) each [B, H]
     inputs: dict with
         pre1   [B, 4H]  — precomputed gate half: W_e·emb_t + W_vg·v_global + b
         ctx    [B, H]   — context override (reconstruct mode) or unused
+    context_mix [B, 1] — optional per-ROW context source selector for the
+        merged decode+reconstruct scan (see `decode`): rows with mix=1 take
+        inputs["ctx"] (the localized feature v̂), rows with mix=0 take the
+        attention context.  Attention is computed for all rows (its FLOPs
+        are ~2% of the step) so both passes share one full-MXU-width scan.
     Returns (carry', (h_lang', alpha [B,S])).
     """
     H = cfg.rnn_size
@@ -194,7 +199,7 @@ def decoder_step(params, cfg, carry, inputs, v_enc, keys, region_mask,
     al, att, ll = params["att_lstm"], params["attention"], params["lang_lstm"]
     dtype = keys.dtype
     from cvc_tpu.ops.dispatch import use_pallas as _resolve_pallas
-    use_pallas = _resolve_pallas(cfg)
+    use_pallas = _resolve_pallas(cfg) if pallas is None else pallas
     if use_pallas:
         from cvc_tpu.ops.dispatch import pallas_interpret
         from cvc_tpu.ops.pallas import (fused_additive_attention,
@@ -220,6 +225,9 @@ def decoder_step(params, cfg, carry, inputs, v_enc, keys, region_mask,
             logits = additive_attention_scores(keys, q, att["w"].astype(dtype))
             alpha = masked_softmax(logits, region_mask)      # [B, S] f32
             ctx = jnp.einsum("bs,bsh->bh", alpha.astype(dtype), v_enc)
+        if context_mix is not None:
+            mix = context_mix.astype(ctx.dtype)
+            ctx = mix * inputs["ctx"] + (1.0 - mix) * ctx
     else:
         ctx = inputs["ctx"]
         alpha = jnp.zeros(region_mask.shape, dtype=jnp.float32)
@@ -246,8 +254,20 @@ def precompute_pre1(params, cfg, emb_seq, v_global):
     return pre + al["b"].astype(dtype)
 
 
+def _train_scan_unroll(cfg) -> int:
+    """Unroll factor for the teacher-forced scans: train_scan_unroll when
+    set (>0), else scan_unroll.  The grad scan benefits from much deeper
+    unrolling than the generation scans — per-step weight-gradient matmuls
+    contract over only B rows, and unrolling lets XLA batch them across
+    steps (measured v5e: full unroll cuts the cyclical grad step ~6% over
+    unroll 7, at ~40 s compile)."""
+    t = getattr(cfg, "train_scan_unroll", 0)
+    return t if t and t > 0 else getattr(cfg, "scan_unroll", 1)
+
+
 def decode(params, cfg, v_enc, keys, v_global, emb_seq, region_mask,
-           init_carry=None, context_override: Optional[jnp.ndarray] = None):
+           init_carry=None, context_override: Optional[jnp.ndarray] = None,
+           context_mix: Optional[jnp.ndarray] = None):
     """Teacher-forced multi-step decode as ONE lax.scan.
 
     emb_seq [B, L, E] — embedded input words (BOS..w_{L-1}).
@@ -255,6 +275,11 @@ def decode(params, cfg, v_enc, keys, v_global, emb_seq, region_mask,
     features v̂_t that REPLACE the attention context (the cyclical method's
     reconstruction pass; reference re-enters the same decoder with swapped
     context — here it is literally the same params + a static flag).
+    context_mix [B, 1] — per-row context selector for the MERGED
+    decode+reconstruct scan (cyclical.py fused path): pass the decode and
+    reconstruct batches stacked on axis 0 with mix 0 for decode rows and 1
+    for reconstruct rows, and one scan serves both passes at twice the MXU
+    row occupancy.
 
     Returns (h_seq [B, L, H], alphas [B, L, S], final_carry).
     """
@@ -263,14 +288,17 @@ def decode(params, cfg, v_enc, keys, v_global, emb_seq, region_mask,
     if init_carry is None:
         init_carry = initial_state(B, cfg.rnn_size, dtype)
     pre1 = precompute_pre1(params, cfg, emb_seq, v_global)     # [B, L, 4H]
-    use_attention = context_override is None
+    use_attention = context_override is None or context_mix is not None
     if context_override is None:
         ctx_seq = jnp.zeros((B, L, cfg.rnn_size), dtype=dtype)
     else:
         ctx_seq = context_override.astype(dtype)
 
+    from cvc_tpu.ops.dispatch import use_pallas_train_scan
     step = partial(decoder_step, params, cfg, v_enc=v_enc, keys=keys,
-                   region_mask=region_mask, use_attention=use_attention)
+                   region_mask=region_mask, use_attention=use_attention,
+                   context_mix=context_mix,
+                   pallas=use_pallas_train_scan(cfg))
 
     def body(carry, xs):
         return step(carry, {"pre1": xs[0], "ctx": xs[1]})
@@ -283,7 +311,7 @@ def decode(params, cfg, v_enc, keys, v_global, emb_seq, region_mask,
 
     xs = (jnp.swapaxes(pre1, 0, 1), jnp.swapaxes(ctx_seq, 0, 1))  # [L, B, *]
     carry, (h_seq, alphas) = jax.lax.scan(
-        body, init_carry, xs, unroll=getattr(cfg, "scan_unroll", 1))
+        body, init_carry, xs, unroll=_train_scan_unroll(cfg))
     return (jnp.swapaxes(h_seq, 0, 1),          # [B, L, H]
             jnp.swapaxes(alphas, 0, 1),         # [B, L, S]
             carry)
@@ -309,6 +337,9 @@ def decode_scheduled_sampling(params, cfg, v_enc, keys, v_global, tokens_in,
     _, w_vg, w_e = _split_wx_att(al["wx"].astype(dtype), E, H)
     vg_pre = v_global @ w_vg + al["b"].astype(dtype)
 
+    from cvc_tpu.ops.dispatch import use_pallas_train_scan
+    pallas = use_pallas_train_scan(cfg)
+
     def body(state, xs):
         carry, prev_word = state
         gt_word, step_rng = xs
@@ -322,7 +353,7 @@ def decode_scheduled_sampling(params, cfg, v_enc, keys, v_global, tokens_in,
             params, cfg, carry, {"pre1": pre1,
                                  "ctx": jnp.zeros((B, H), dtype)},
             v_enc=v_enc, keys=keys, region_mask=region_mask,
-            use_attention=True)
+            use_attention=True, pallas=pallas)
         step_logits = logits(params, h_lang)
         sampled = jax.random.categorical(r_sample, step_logits).astype(jnp.int32)
         return (carry, sampled), (h_lang, alpha)
@@ -331,7 +362,7 @@ def decode_scheduled_sampling(params, cfg, v_enc, keys, v_global, tokens_in,
     xs = (jnp.swapaxes(tokens_in, 0, 1), rngs)
     (carry, _), (h_seq, alphas) = jax.lax.scan(
         body, (init_carry, jnp.full((B,), -1, jnp.int32)), xs,
-        unroll=getattr(cfg, "scan_unroll", 1))
+        unroll=_train_scan_unroll(cfg))
     return jnp.swapaxes(h_seq, 0, 1), jnp.swapaxes(alphas, 0, 1), carry
 
 

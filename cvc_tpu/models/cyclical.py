@@ -85,6 +85,19 @@ def cyclical_loss(params, cfg, arrays, rng=None, train: bool = False,
     mask = token_mask[:, 1:]
 
     r_dec, r_loc = (jax.random.split(rng) if rng is not None else (None, None))
+
+    # Merged-scan fast path: with GT-word localizer queries (the
+    # --cycle_gt_until bootstrap phase) the reconstruct pass does not
+    # depend on the decode pass's argmax words, so both passes run as ONE
+    # lax.scan over the stacked [2B] batch — decode rows take the attention
+    # context, reconstruct rows take v̂ (see core.decode context_mix).  At
+    # B=64/H=1024 this fills the MXU rows the two separate B=64 scans
+    # leave half-idle.  Bit-for-bit math of the unfused path (same ops,
+    # wider batch); parity-tested in tests/test_model_core.py.
+    if (enable_cycle and getattr(cfg, "cycle_localize_gt", False)
+            and getattr(cfg, "fuse_cycle_scans", True) and ss_prob is None):
+        return _fused_gt_cycle_loss(params, cfg, arrays, r_dec, train)
+
     logits_dec, alphas, _, (v_enc, keys, v_global) = decode_teacher_forced(
         params, cfg, arrays, r_dec, train, ss_prob=ss_prob)
     loss_dec = _xent(cfg, logits_dec, targets, mask)
@@ -118,6 +131,46 @@ def cyclical_loss(params, cfg, arrays, rng=None, train: bool = False,
         logits_rec = core.logits(params, h_rec)
         loss_rec = _xent(cfg, logits_rec, targets, mask)
 
+    return _finalize_loss(cfg, arrays, mask, loss_dec, loss_rec, alphas)
+
+
+def _fused_gt_cycle_loss(params, cfg, arrays, rng, train: bool):
+    """GT-query cycle as ONE merged scan (see cyclical_loss).
+
+    Semantics identical to the unfused GT-query path: decode XE +
+    cycle_weight * reconstruct XE, localizer queried with the target
+    words, gradients reaching the localizer only through the
+    reconstruction XE (v̂ enters via the reconstruct rows' context).
+    """
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+    tokens, token_mask = arrays["tokens"], arrays["token_mask"]
+    targets = tokens[:, 1:]
+    mask = token_mask[:, 1:]
+    B = tokens.shape[0]
+
+    v_enc, keys, v_global = _encode(params, cfg, arrays)
+    region_mask = arrays["region_mask"]
+    _, v_hat = core.localize(params, cfg, targets, v_enc, region_mask)
+    emb_in = core.embed_tokens(params, tokens[:, :-1], dtype)
+
+    cat = lambda x: jnp.concatenate([x, x], axis=0)
+    ctx2 = jnp.concatenate([jnp.zeros_like(v_hat), v_hat], axis=0)
+    mix = jnp.concatenate([jnp.zeros((B, 1)), jnp.ones((B, 1))],
+                          axis=0).astype(dtype)
+    h2, a2, _ = core.decode(params, cfg, cat(v_enc), cat(keys),
+                            cat(v_global), cat(emb_in), cat(region_mask),
+                            context_override=ctx2, context_mix=mix)
+    if train and rng is not None:
+        h2 = dropout(h2, cfg.drop_prob_lm, rng, deterministic=False)
+    logits2 = core.logits(params, h2)          # one [2B*L, V] MXU matmul
+    loss_dec = _xent(cfg, logits2[:B], targets, mask)
+    loss_rec = _xent(cfg, logits2[B:], targets, mask)
+    return _finalize_loss(cfg, arrays, mask, loss_dec, loss_rec, a2[:B])
+
+
+def _finalize_loss(cfg, arrays, mask, loss_dec, loss_rec, alphas):
+    """Shared tail: total loss, entropy penalty, optional supervised
+    grounding, metrics dict."""
     loss = loss_dec + cfg.cycle_weight * loss_rec
     attn_ent = _mean_attention_entropy(alphas, mask)
     w_ent = getattr(cfg, "attention_entropy_weight", 0.0)

@@ -24,3 +24,19 @@ def use_pallas(cfg) -> bool:
     if up is None:
         return jax.default_backend() == "tpu"
     return bool(up)
+
+
+def use_pallas_train_scan(cfg) -> bool:
+    """Pallas dispatch for the TEACHER-FORCED decode/reconstruct scans
+    (training + eval loss).  Auto resolves to False even on TPU: through
+    `jax.grad` the per-op kernel boundaries block XLA's cross-step fusion,
+    and the measured v5e cyclical grad step is faster (and compiles ~6x
+    faster) on pure XLA with scan unrolling — 13.8 vs 14.6 ms at flagship
+    shapes (see experiments/pallas_vs_xla.json).  Generation-time steps
+    (beam/greedy, no grad) keep the fused kernels via `use_pallas` — there
+    the VMEM-resident step wins.  An explicit use_pallas=True still forces
+    the kernels everywhere (the A/B switch)."""
+    up = getattr(cfg, "use_pallas", None)
+    if up is None:
+        return False
+    return bool(up)

@@ -232,3 +232,30 @@ def test_cycle_localize_gt_variant(setup):
     loc = jnp.concatenate([x.ravel() for x in
                            jax.tree_util.tree_leaves(g["localizer"])])
     assert float(jnp.abs(loc).max()) > 0.0
+
+
+def test_fused_gt_cycle_scan_parity(setup):
+    """The merged decode+reconstruct scan (fuse_cycle_scans, engaged when
+    localizer queries are GT words) must match the two-scan path exactly:
+    loss terms, metrics, and gradients — including the localizer's, whose
+    only gradient route is the reconstruct rows' context."""
+    import dataclasses
+    cfg, params, arrays = setup
+    cfg_f = dataclasses.replace(cfg, cycle_localize_gt=True,
+                                fuse_cycle_scans=True)
+    cfg_u = dataclasses.replace(cfg, cycle_localize_gt=True,
+                                fuse_cycle_scans=False)
+    _, m_f = cyclical_loss(params, cfg_f, arrays, enable_cycle=True)
+    _, m_u = cyclical_loss(params, cfg_u, arrays, enable_cycle=True)
+    for k in m_u:
+        np.testing.assert_allclose(float(m_f[k]), float(m_u[k]), rtol=2e-5,
+                                   err_msg=k)
+    g_f = jax.grad(lambda p: cyclical_loss(p, cfg_f, arrays,
+                                           enable_cycle=True)[0])(params)
+    g_u = jax.grad(lambda p: cyclical_loss(p, cfg_u, arrays,
+                                           enable_cycle=True)[0])(params)
+    from jax.flatten_util import ravel_pytree
+    flat_f, _ = ravel_pytree(g_f)
+    flat_u, _ = ravel_pytree(g_u)
+    np.testing.assert_allclose(np.asarray(flat_f), np.asarray(flat_u),
+                               rtol=2e-4, atol=1e-6)
