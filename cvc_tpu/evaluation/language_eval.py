@@ -5,9 +5,11 @@ Takes generated captions + references, applies the PTB tokenizer, and
 computes BLEU@1-4, CIDEr(-D) and METEOR.  METEOR comes from the real
 meteor-1.5 jar when a JVM + jar exist (CVC_METEOR_JAR), else from the
 pure-Python algorithm port in `meteor.py` (exact+stem modules; the
-synonym/paraphrase data files are the jar's).  SPICE — which needs a
-dependency parser — is reported as None rather than faked.  Results are
-also written as a JSON artifact like the reference's eval outputs.
+synonym/paraphrase data files are the jar's).  SPICE — which needs the
+Java dependency parser — is reported as None rather than faked when no
+JVM exists; the rule-based approximation is always reported separately
+as SPICE_lite (`spice_lite.py`).  Results are also written as a JSON
+artifact like the reference's eval outputs.
 """
 
 from __future__ import annotations
@@ -55,8 +57,14 @@ def language_eval(predictions: list[dict],
     if spice_jar.jar_available():
         # same tokenized inputs as the other scorers (pycocoevalcap order)
         out["SPICE"], _ = spice_jar.compute_spice(candidates, refs_tok)
+        out["SPICE_source"] = "spice-1.0.jar"
     else:
         out["SPICE"] = None  # needs the Java scene-graph parser; not faked
+        out["SPICE_source"] = None
+    # always also report the rule-based approximation (separate key — it
+    # does not claim jar parity; see spice_lite.py)
+    from cvc_tpu.evaluation.spice_lite import corpus_spice_lite
+    out["SPICE_lite"], _ = corpus_spice_lite(candidates, refs_tok)
     out["n_scored"] = len(ids)
 
     if out_path:

@@ -306,3 +306,76 @@ def test_jar_drivers_protocol_without_jvm():
         meteor_jar.MeteorJar()
     with pytest.raises(RuntimeError):
         spice_jar.compute_spice({"1": "a dog"}, {"1": ["a dog"]})
+
+
+# ---------------------------------------------------------------------------
+# SPICE-lite (rule-based scene-graph approximation; cvc_tpu/evaluation/
+# spice_lite.py — the no-JVM fallback for the reference's SPICE jar)
+# ---------------------------------------------------------------------------
+
+def test_spice_lite_scene_graph_objects_attrs_relations():
+    from cvc_tpu.evaluation.spice_lite import scene_graph
+    g = scene_graph("a man riding a brown horse".split())
+    assert ("man",) in g and ("horse",) in g
+    assert ("horse", "brown") in g
+    assert ("man", "ride", "horse") in g
+
+
+def test_spice_lite_copular_attribute_attaches_to_clause_subject():
+    from cvc_tpu.evaluation.spice_lite import scene_graph
+    assert ("dog", "brown") in scene_graph("the dog is brown".split())
+    # subject found through a PREP-linked NP chain
+    g = scene_graph("a young girl in a red shirt is smiling".split())
+    assert ("girl", "smiling") in g
+    assert ("shirt", "red") in g
+    assert ("smiling",) not in g          # predicate ADJ is not an object
+
+
+def test_spice_lite_conjoined_subjects_share_relation():
+    from cvc_tpu.evaluation.spice_lite import scene_graph
+    g = scene_graph(
+        "a man and a woman sitting on a wooden bench".split())
+    assert ("man", "sit on", "bench") in g
+    assert ("woman", "sit on", "bench") in g
+
+
+def test_spice_lite_verb_lemmas():
+    from cvc_tpu.evaluation.spice_lite import verb_lemma
+    assert verb_lemma("riding") == "ride"
+    assert verb_lemma("playing") == "play"
+    assert verb_lemma("running") == "run"
+    assert verb_lemma("sits") == "sit"
+    assert verb_lemma("carried") == "carry"
+    assert verb_lemma("catches") == "catch"
+
+
+def test_spice_lite_f1_hand_computed():
+    """cand graph: {(man,), (horse,), (horse,brown), (man,ride,horse)} (4);
+    ref union adds (person,), (person,on,horse) and shares all 4 cand
+    tuples except... compute exactly."""
+    from cvc_tpu.evaluation.spice_lite import (corpus_spice_lite,
+                                               scene_graph)
+    cand = {"1": "a man riding a brown horse"}
+    refs = {"1": ["a man rides a brown horse", "a person on a horse"]}
+    tc = scene_graph(cand["1"].split())
+    tg = scene_graph(refs["1"][0].split()) | scene_graph(refs["1"][1].split())
+    inter = len(tc & tg)
+    p, r = inter / len(tc), inter / len(tg)
+    want = 2 * p * r / (p + r)
+    got, per = corpus_spice_lite(cand, refs)
+    assert abs(got - want) < 1e-9
+    assert per["1"] == got
+    # a reference caption ties the paraphrase (same graph after verb
+    # lemmatization); an unrelated caption scores zero
+    same, _ = corpus_spice_lite({"1": refs["1"][0]}, refs)
+    wrong, _ = corpus_spice_lite({"1": "a blue car parked on a street"}, refs)
+    assert same >= got > wrong == 0.0
+
+
+def test_spice_lite_reported_by_language_eval():
+    from cvc_tpu.evaluation.language_eval import language_eval
+    preds = [{"image_id": "1", "caption": "A man riding a brown horse."}]
+    refs = {"1": ["A man rides a brown horse.", "A person on a horse."]}
+    out = language_eval(preds, refs)
+    assert out["SPICE"] is None           # no JVM in this sandbox
+    assert 0.0 < out["SPICE_lite"] <= 1.0
