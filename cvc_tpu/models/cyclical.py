@@ -25,8 +25,11 @@ from cvc_tpu.ops.primitives import dropout, masked_xent
 
 
 def _xent(cfg, logits, targets, mask):
-    """Masked token XE; fused Pallas path when cfg.use_pallas resolves on."""
-    from cvc_tpu.ops.dispatch import use_pallas
+    """Masked token XE.  Dispatches with the TRAIN-scan rule (auto -> XLA):
+    this loss only runs inside the teacher-forced training/eval step, where
+    the measured v5e winner is XLA end-to-end (see ops/dispatch.py); an
+    explicit use_pallas=True still selects the fused kernel."""
+    from cvc_tpu.ops.dispatch import use_pallas_train_scan as use_pallas
     if use_pallas(cfg):
         from cvc_tpu.ops.dispatch import pallas_interpret
         from cvc_tpu.ops.pallas import fused_masked_xent
