@@ -127,6 +127,12 @@ class DataConfig:
     # Synthetic-fixture knobs (tests / benches without real data).
     synthetic_num_images: int = 256
     synthetic_vocab_size: int = 1000
+    synthetic_word_order: str = "sorted"   # "shuffled": object mention
+    #                                   order is random -> class words are
+    #                                   predictable ONLY via word-aligned
+    #                                   attention (the grounding-ablation
+    #                                   world; see data/synthetic.py)
+    synthetic_unique_colors: bool = False
 
 
 @dataclass
@@ -238,6 +244,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--annotation_file", type=str, default="")
     p.add_argument("--vocab_file", type=str, default="")
     p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--device_resident", type=int, default=0,
+                   help="keep the train set in HBM and gather batches on "
+                        "device (single-chip XE path; one upload total)")
+    p.add_argument("--num_workers", type=int, default=1,
+                   help="host threads assembling batches")
+    p.add_argument("--prefetch", type=int, default=2)
+    p.add_argument("--synthetic_num_images", type=int, default=256,
+                   help="--dataset synthetic: images per split")
+    p.add_argument("--synthetic_vocab_size", type=int, default=1000)
+    p.add_argument("--synthetic_word_order", type=str, default="sorted",
+                   choices=["sorted", "shuffled"],
+                   help="'shuffled' = the grounding-ablation world: class "
+                        "words require word-aligned attention")
+    p.add_argument("--synthetic_unique_colors", type=int, default=0)
     p.add_argument("--seq_length", type=int, default=20)
     p.add_argument("--num_props", type=int, default=100,
                    help="region proposals per image/frame (padded to a static shape)")
@@ -328,7 +348,13 @@ def _defaults_from_config(cfg: Config) -> dict:
     return dict(
         dataset=d.dataset, feature_file=d.feature_file,
         annotation_file=d.annotation_file, vocab_file=d.vocab_file,
-        batch_size=d.batch_size, seq_length=m.seq_length,
+        batch_size=d.batch_size, device_resident=int(d.device_resident),
+        num_workers=d.num_workers, prefetch=d.prefetch,
+        synthetic_num_images=d.synthetic_num_images,
+        synthetic_vocab_size=d.synthetic_vocab_size,
+        synthetic_word_order=d.synthetic_word_order,
+        synthetic_unique_colors=int(d.synthetic_unique_colors),
+        seq_length=m.seq_length,
         num_props=m.num_regions, num_frames=m.num_frames,
         rnn_size=m.rnn_size, input_encoding_size=m.input_encoding_size,
         att_hid_size=m.att_hid_size, drop_prob_lm=m.drop_prob_lm,
@@ -388,6 +414,13 @@ def config_from_args(argv=None) -> Config:
     d.annotation_file = args.annotation_file
     d.vocab_file = args.vocab_file
     d.batch_size = args.batch_size
+    d.device_resident = bool(args.device_resident)
+    d.num_workers = args.num_workers
+    d.prefetch = args.prefetch
+    d.synthetic_num_images = args.synthetic_num_images
+    d.synthetic_vocab_size = args.synthetic_vocab_size
+    d.synthetic_word_order = args.synthetic_word_order
+    d.synthetic_unique_colors = bool(args.synthetic_unique_colors)
     d.seed = args.seed
 
     m.seq_length = args.seq_length

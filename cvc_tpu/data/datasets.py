@@ -139,6 +139,9 @@ def load_dataset(data_cfg, model_cfg, split: str) -> CaptionDataset:
             seq_length=model_cfg.seq_length,
             split=split,
             seed=data_cfg.seed,
+            word_order=getattr(data_cfg, "synthetic_word_order", "sorted"),
+            unique_colors=getattr(data_cfg, "synthetic_unique_colors",
+                                  False),
         )
     vocab = Vocabulary.load(data_cfg.vocab_file)
     return load_hdf5_dataset(

@@ -117,3 +117,21 @@ def test_lr_schedule_reference_semantics():
     t2 = TrainConfig(learning_rate=0.5, learning_rate_decay_start=-1)
     sched2 = lr_schedule(t2, steps_per_epoch=10)
     assert float(sched2(990)) == 0.5
+
+
+def test_data_pipeline_flags_map():
+    """--device_resident / --num_workers / --prefetch / --synthetic_* are
+    reachable from the CLI (device-resident feeding is mandatory for long
+    single-chip runs; see cvc_tpu/data/device_data.py)."""
+    from cvc_tpu.config import config_from_args
+    cfg = config_from_args([
+        "--dataset", "synthetic", "--device_resident", "1",
+        "--num_workers", "3", "--prefetch", "4",
+        "--synthetic_num_images", "512", "--synthetic_vocab_size", "321",
+        "--train_scan_unroll", "21"])
+    assert cfg.data.device_resident is True
+    assert cfg.data.num_workers == 3
+    assert cfg.data.prefetch == 4
+    assert cfg.data.synthetic_num_images == 512
+    assert cfg.data.synthetic_vocab_size == 321
+    assert cfg.model.train_scan_unroll == 21
