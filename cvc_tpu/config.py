@@ -133,6 +133,8 @@ class DataConfig:
     #                                   attention (the grounding-ablation
     #                                   world; see data/synthetic.py)
     synthetic_unique_colors: bool = False
+    synthetic_num_classes: int = 24
+    synthetic_num_val_images: int = 0  # 0 = synthetic_num_images
 
 
 @dataclass
@@ -258,6 +260,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="'shuffled' = the grounding-ablation world: class "
                         "words require word-aligned attention")
     p.add_argument("--synthetic_unique_colors", type=int, default=0)
+    p.add_argument("--synthetic_num_classes", type=int, default=24)
+    p.add_argument("--synthetic_num_val_images", type=int, default=0,
+                   help="0 = same as --synthetic_num_images")
+    p.add_argument("--feat_dim", type=int, default=2048,
+                   help="region feature dim (reference: 2048-d fc6)")
+    p.add_argument("--weight_decay", type=float, default=0.0)
     p.add_argument("--seq_length", type=int, default=20)
     p.add_argument("--num_props", type=int, default=100,
                    help="region proposals per image/frame (padded to a static shape)")
@@ -354,6 +362,9 @@ def _defaults_from_config(cfg: Config) -> dict:
         synthetic_vocab_size=d.synthetic_vocab_size,
         synthetic_word_order=d.synthetic_word_order,
         synthetic_unique_colors=int(d.synthetic_unique_colors),
+        synthetic_num_classes=d.synthetic_num_classes,
+        synthetic_num_val_images=d.synthetic_num_val_images,
+        feat_dim=m.feat_dim, weight_decay=t.weight_decay,
         seq_length=m.seq_length,
         num_props=m.num_regions, num_frames=m.num_frames,
         rnn_size=m.rnn_size, input_encoding_size=m.input_encoding_size,
@@ -421,9 +432,13 @@ def config_from_args(argv=None) -> Config:
     d.synthetic_vocab_size = args.synthetic_vocab_size
     d.synthetic_word_order = args.synthetic_word_order
     d.synthetic_unique_colors = bool(args.synthetic_unique_colors)
+    d.synthetic_num_classes = args.synthetic_num_classes
+    d.synthetic_num_val_images = args.synthetic_num_val_images
     d.seed = args.seed
 
     m.seq_length = args.seq_length
+    m.feat_dim = args.feat_dim
+    t.weight_decay = args.weight_decay
     m.num_regions = _round_up(args.num_props, 8)
     m.num_frames = args.num_frames
     m.rnn_size = args.rnn_size

@@ -129,9 +129,14 @@ def load_dataset(data_cfg, model_cfg, split: str) -> CaptionDataset:
     """Dispatch on DataConfig.dataset (reference: --dataset flag in main.py)."""
     if data_cfg.dataset == "synthetic":
         from cvc_tpu.data.synthetic import make_synthetic_dataset
+        n_img = data_cfg.synthetic_num_images
+        if split != "train" and getattr(data_cfg, "synthetic_num_val_images",
+                                        0) > 0:
+            n_img = data_cfg.synthetic_num_val_images
         return make_synthetic_dataset(
-            num_images=data_cfg.synthetic_num_images,
+            num_images=n_img,
             vocab_size=data_cfg.synthetic_vocab_size,
+            num_classes=getattr(data_cfg, "synthetic_num_classes", 24),
             num_regions=model_cfg.num_regions,
             num_frames=model_cfg.num_frames,
             feat_dim=model_cfg.feat_dim,

@@ -30,8 +30,10 @@ from cvc_tpu.models import core
 
 def main():
     results = {"device": str(jax.devices()[0]), "batch": BATCH, "beam": BEAM}
-    for pallas in (False, True):
-        tag = "pallas" if pallas else "xla"
+    # auto = the shipped per-context dispatch (Pallas for generation steps,
+    # XLA for the teacher-forced grad scans; ops/dispatch.py) — the other
+    # two rows force one path everywhere (the A/B switch).
+    for tag, pallas in (("xla", False), ("pallas", True), ("auto", None)):
         cfg = flagship_config(use_pallas=pallas, dtype="bfloat16")
         params = core.init_params(jax.random.PRNGKey(0), cfg)
         t0 = time.time()
@@ -50,7 +52,10 @@ def main():
         / results["pallas"]["train_step_ms"], 4)
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
                        "experiments", "pallas_vs_xla.json")
-    json.dump(results, open(out, "w"), indent=1)
+    # keep the measurement history (the default-dispatch decisions cite it)
+    prior = json.load(open(out)) if os.path.exists(out) else {}
+    prior[f"rerun_{time.strftime('%Y%m%d_%H%M')}"] = results
+    json.dump(prior, open(out, "w"), indent=1)
     print(json.dumps(results))
 
 
