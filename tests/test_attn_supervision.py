@@ -82,3 +82,24 @@ def test_supervised_training_aligns_attention():
     # exercised on TPU in experiments/, not in this CPU unit test)
     assert after["attn_accuracy"] > 0.25, (before, after)
     assert after["attn_accuracy"] > before["attn_accuracy"] + 0.15
+
+
+def test_supervision_term_matches_in_fused_gt_cycle():
+    """attn_supervision composes with the merged GT-query scan: the fused
+    and two-scan paths must produce identical loss_attn_sup and totals."""
+    import dataclasses
+    mc, ds = _world(8)
+    mc = dataclasses.replace(mc, cycle_localize_gt=True)
+    params = core.init_params(jax.random.PRNGKey(0), mc)
+    batch = next(make_batches(ds, mc, 4, shuffle=False, prefetch=0,
+                              with_gt_region=True))
+    arrays = {k: jnp.asarray(v) for k, v in batch.model_inputs().items()}
+    arrays["gt_region"] = jnp.asarray(batch.gt_region)
+    _, m_f = cyclical_loss(params, mc, arrays, enable_cycle=True)
+    _, m_u = cyclical_loss(
+        params, dataclasses.replace(mc, fuse_cycle_scans=False), arrays,
+        enable_cycle=True)
+    assert "loss_attn_sup" in m_f and "loss_attn_sup" in m_u
+    for k in m_u:
+        np.testing.assert_allclose(float(m_f[k]), float(m_u[k]), rtol=2e-5,
+                                   err_msg=k)
