@@ -145,3 +145,30 @@ def test_eval_step_sharded_with_attn_supervision():
     metrics = ev(placed, shard_batch(mesh, arrays))
     assert "loss_attn_sup" in metrics
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_fused_gt_cycle_sharded_matches_single_device():
+    """The merged decode+reconstruct scan (GT-query bootstrap phase)
+    stacks the batch to 2B along the data-sharded axis — GSPMD must keep
+    the same numerics as the single-device fused step."""
+    import dataclasses
+    cfg, tc, opt, state, arrays = _setup()
+    cfg = dataclasses.replace(cfg, cycle_localize_gt=True)
+    rng = jax.random.PRNGKey(5)
+
+    step1 = make_train_step(cfg, tc, opt)
+    s1, losses1 = state, []
+    for _ in range(3):
+        s1, m = step1(s1, arrays, rng)
+        losses1.append(float(m["loss"]))
+
+    mesh = make_mesh(8, model_axis=2)
+    stepN = make_train_step(cfg, tc, opt, mesh=mesh, state=state,
+                            example_arrays=arrays)
+    sN = jax.device_put(state, state_shardings(mesh, state))
+    sharded_arrays = shard_batch(mesh, arrays)
+    lossesN = []
+    for _ in range(3):
+        sN, m = stepN(sN, sharded_arrays, rng)
+        lossesN.append(float(m["loss"]))
+    np.testing.assert_allclose(losses1, lossesN, rtol=2e-4)
