@@ -123,16 +123,17 @@ def bench_decode(cfg, params, batch: int = BATCH) -> float:
                                            sample_method="beam"))
     arrays = random_arrays(cfg, batch)
     out = decoder(params, arrays)          # compile + warmup
-    jax.block_until_ready(out["tokens"])
+    int(out["tokens"][0, 0])
     # Throughput: submit a stream of batches and sync once — serving
     # pipelines dispatch, per-call blocking would understate ~3x here.
+    # Final sync is a device->host scalar read (see bench_train).
     N_ITERS = 10
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(N_ITERS):
             out = decoder(params, arrays)
-        jax.block_until_ready(out["tokens"])
+        int(out["tokens"][0, 0])
         best = min(best, (time.perf_counter() - t0) / N_ITERS)
     return batch / best
 
@@ -147,14 +148,17 @@ def bench_train(cfg, params) -> dict:
     arrays = random_arrays(cfg, BATCH, seed=1)
     rng = jax.random.PRNGKey(0)
     state, m = step(state, arrays, rng)    # compile + warmup
-    jax.block_until_ready(m["loss"])
+    float(m["loss"])
     N_ITERS = 20
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(N_ITERS):
             state, m = step(state, arrays, rng)
-        jax.block_until_ready(m["loss"])
+        # hard sync via a device->host scalar read: through the axon relay,
+        # block_until_ready on buffers of a donated-state step can return
+        # before execution finishes and report absurd times
+        float(m["loss"])
         best = min(best, (time.perf_counter() - t0) / N_ITERS)
     toks = float(BATCH * (cfg.seq_length + 1))
     return {"train_step_ms": round(best * 1e3, 3),
