@@ -66,18 +66,23 @@ def random_arrays(cfg: ModelConfig, batch: int, seed: int = 0) -> dict:
     tokens[:, 0] = 1
     tokens[:, 1:SEQ + 1] = rng.integers(4, cfg.vocab_size, (batch, SEQ))
     tokens[:, SEQ + 1] = 2
-    return dict(
+    # mask: 100 live proposals per frame (reference's proposal budget)
+    live = (np.arange(S)[None, :] % cfg.num_regions) < 100
+    out = dict(
         feats=jnp.asarray(rng.normal(size=(batch, S, cfg.feat_dim)),
                           jnp.float32),
         box_geom=jnp.asarray(rng.uniform(size=(batch, S, 5)), jnp.float32),
         region_cls=jnp.asarray(
             rng.integers(0, cfg.num_classes, size=(batch, S)), jnp.int32),
-        region_mask=jnp.asarray(
-            (np.arange(S)[None, :] < 100).astype(np.float32)
-            * np.ones((batch, 1), np.float32)),
+        region_mask=jnp.asarray(live.astype(np.float32)
+                                * np.ones((batch, 1), np.float32)),
         tokens=jnp.asarray(tokens),
         token_mask=jnp.ones((batch, T), jnp.float32),
     )
+    if cfg.global_feat_dim:
+        out["global_feat"] = jnp.asarray(
+            rng.normal(size=(batch, cfg.global_feat_dim)), jnp.float32)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -173,18 +178,27 @@ def main():
     # quality were verified equivalent to f32 on the synthetic world
     # (loss 3.650 vs 3.652, CIDEr within noise) and it is ~6% faster.
     dtype = "float32" if "--fp32" in sys.argv else "bfloat16"
-    # use_pallas=None = auto: the fused Pallas kernels on real TPU (they
-    # measured >= XLA at these shapes, experiments/pallas_vs_xla.json),
-    # XLA fusion elsewhere.  --no-pallas forces the XLA path for A/B runs.
+    # use_pallas=None = auto, resolved per context (Pallas for generation
+    # steps, XLA for the teacher-forced grad scans; see ops/dispatch.py
+    # and experiments/pallas_vs_xla.json).  --no-pallas / --pallas force
+    # one path everywhere for A/B runs.
     up = False if "--no-pallas" in sys.argv else (
         True if "--pallas" in sys.argv else None)
-    cfg = flagship_config(use_pallas=up, dtype=dtype)
+    video = "--video" in sys.argv
+    if video:
+        # ANet-Entities flavor: 10 frames x 100 proposals (padded to
+        # 10x128 slots) + a 3072-d segment appearance+motion feature
+        cfg = flagship_config(use_pallas=up, dtype=dtype, num_frames=10,
+                              global_feat_dim=3072)
+    else:
+        cfg = flagship_config(use_pallas=up, dtype=dtype)
     params = core.init_params(jax.random.PRNGKey(0), cfg)
 
     caps_per_sec = bench_decode(cfg, params)
     gflop_caption = caption_flops(cfg, BEAM) / 1e9
     out = {
-        "metric": "captions_per_sec_per_chip_beam5_flickr30k",
+        "metric": ("captions_per_sec_per_chip_beam5_anet_video" if video
+                   else "captions_per_sec_per_chip_beam5_flickr30k"),
         "value": round(caps_per_sec, 2),
         "unit": "captions/s/chip",
         "vs_baseline": round(caps_per_sec / REF_BASELINE_CAPS_PER_SEC, 3),
@@ -201,7 +215,7 @@ def main():
         out["baseline_measured_caps_per_sec"] = ref
         out["vs_baseline_measured"] = round(caps_per_sec / ref, 1)
 
-    if "--no-serving" not in sys.argv:
+    if "--no-serving" not in sys.argv and not video:
         # Serving operating point: batch 256 saturates the MXU rows the
         # 64-batch baseline point leaves idle (~ +30% caps/s, ~30% MFU;
         # plateaus by batch 512).  Headline stays batch 64 for cross-round

@@ -15,13 +15,25 @@ def pallas_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+MAX_PALLAS_REGION_SLOTS = 512
+
+
 def use_pallas(cfg) -> bool:
     """Resolve ModelConfig.use_pallas: None means auto — the fused Pallas
     kernels on real TPU (measured >= XLA at flagship shapes on v5e, see
     experiments/pallas_vs_xla.json), XLA's own fusion elsewhere (interpret
-    mode is only a correctness tool; it would slow CPU runs 10-100x)."""
+    mode is only a correctness tool; it would slow CPU runs 10-100x).
+
+    Auto also requires the attention width to fit the kernels' VMEM
+    blocking: at ANet-video widths (10 frames x 128 slots = 1280) the
+    per-block keys/values tiles exceed the ~16 MB scoped-VMEM budget
+    (measured compile OOM), so wide configs fall back to XLA fusion.
+    An explicit use_pallas=True bypasses the gate (and will OOM at such
+    widths — it is the A/B switch, not a safety net)."""
     up = getattr(cfg, "use_pallas", None)
     if up is None:
+        if getattr(cfg, "total_regions", 0) > MAX_PALLAS_REGION_SLOTS:
+            return False
         return jax.default_backend() == "tpu"
     return bool(up)
 

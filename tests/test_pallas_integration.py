@@ -67,3 +67,17 @@ def test_beam_search_matches(setup):
                                   np.asarray(b1["tokens"]))
     np.testing.assert_allclose(np.asarray(b1["scores"]),
                                np.asarray(b0["scores"]), rtol=1e-4)
+
+
+def test_auto_dispatch_gates_on_attention_width():
+    """Auto Pallas dispatch must fall back to XLA beyond the kernels'
+    VMEM blocking width (ANet video: 10x128 = 1280 slots measured a
+    scoped-VMEM compile OOM); explicit settings are respected."""
+    import dataclasses
+    from cvc_tpu.ops.dispatch import MAX_PALLAS_REGION_SLOTS, use_pallas
+    from tests.conftest import tiny_model_config
+    wide = tiny_model_config(num_frames=10, num_regions=128)
+    assert wide.total_regions > MAX_PALLAS_REGION_SLOTS
+    assert use_pallas(dataclasses.replace(wide, use_pallas=None)) is False
+    assert use_pallas(dataclasses.replace(wide, use_pallas=True)) is True
+    assert use_pallas(dataclasses.replace(wide, use_pallas=False)) is False
