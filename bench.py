@@ -207,9 +207,13 @@ def main():
         "gflop_per_caption": round(gflop_caption, 3),
         "dtype": dtype,
     }
+    if video:
+        # the measured/estimated baselines are flickr-shaped; a ratio
+        # against them would be meaningless for the video flavor
+        del out["vs_baseline"]
     mb = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "BASELINE_MEASURED.json")
-    if os.path.exists(mb):
+    if os.path.exists(mb) and not video:
         measured = json.load(open(mb))
         ref = float(measured["torch_cpu_caps_per_sec"])
         out["baseline_measured_caps_per_sec"] = ref
