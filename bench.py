@@ -143,14 +143,15 @@ def bench_decode(cfg, params, batch: int = BATCH) -> float:
     return batch / best
 
 
-def bench_train(cfg, params) -> dict:
+def bench_train(cfg, params, batch: int | None = None) -> dict:
     from cvc_tpu.training import TrainState, make_optimizer
     from cvc_tpu.training.step import make_train_step
+    batch = BATCH if batch is None else batch
     tc = TrainConfig(learning_rate=5e-4, grad_clip=0.1, donate_state=True)
     opt = make_optimizer(tc, steps_per_epoch=1000)
     state = TrainState.create(params, opt)
     step = make_train_step(cfg, tc, opt)
-    arrays = random_arrays(cfg, BATCH, seed=1)
+    arrays = random_arrays(cfg, batch, seed=1)
     rng = jax.random.PRNGKey(0)
     state, m = step(state, arrays, rng)    # compile + warmup
     float(m["loss"])
@@ -165,11 +166,11 @@ def bench_train(cfg, params) -> dict:
         # before execution finishes and report absurd times
         float(m["loss"])
         best = min(best, (time.perf_counter() - t0) / N_ITERS)
-    toks = float(BATCH * (cfg.seq_length + 1))
+    toks = float(batch * (cfg.seq_length + 1))
     return {"train_step_ms": round(best * 1e3, 3),
-            "train_images_per_sec": round(BATCH / best, 1),
+            "train_images_per_sec": round(batch / best, 1),
             "train_tokens_per_sec": round(toks / best, 1),
-            "train_mfu": round(BATCH * train_image_flops(cfg)
+            "train_mfu": round(batch * train_image_flops(cfg)
                                / best / PEAK_BF16_FLOPS, 4)}
 
 
@@ -232,6 +233,15 @@ def main():
 
     if "--no-train" not in sys.argv:
         out.update(bench_train(cfg, params))
+        if not video:
+            # large-batch operating point: B=64 leaves half the MXU rows
+            # idle; production training runs at 256-512 (configs/c5)
+            from cvc_tpu.models import core as _core
+            p2 = _core.init_params(jax.random.PRNGKey(0), cfg)
+            tr = bench_train(cfg, p2, batch=256)
+            out["train_serving_batch"] = 256
+            out["train_serving_images_per_sec"] = tr["train_images_per_sec"]
+            out["train_serving_mfu"] = tr["train_mfu"]
 
     print(json.dumps(out))
 
