@@ -13,13 +13,15 @@ on device via the vectorized beam search.  The cyclical TRAIN step (the
 paper's actual hot loop, SURVEY.md §3.1) is benchmarked in the same run.
 
 Baselines:
-  * vs_baseline — the documented engineering estimate of the reference's
-    per-image Python beam loop on a V100-class GPU (~150 caps/s); kept
-    for continuity with BASELINE.md.
-  * vs_baseline_measured — ratio against the MEASURED reference-shaped
-    torch decoder (tools/measure_torch_baseline.py writes
+  * vs_baseline — ratio against the MEASURED reference-shaped torch
+    decoder (tools/measure_torch_baseline.py writes
     BASELINE_MEASURED.json; torch-CPU on this host — an anchor for the
-    reference's host-bound per-step structure, not a V100 reproduction).
+    reference's host-bound per-step structure, not a V100 reproduction;
+    no GPU exists in this sandbox).
+  * vs_baseline_estimate_v100 — a documented engineering ESTIMATE of
+    the reference's per-image Python beam loop on a V100-class GPU
+    (~150 caps/s); not a measurement — kept only for continuity with
+    BASELINE.md, always secondary to the measured ratio.
 
 MFU: analytic matmul FLOPs (computed from the model dims below) divided
 by the v5e bf16 peak of 197 TFLOP/s.
@@ -202,23 +204,24 @@ def main():
                    else "captions_per_sec_per_chip_beam5_flickr30k"),
         "value": round(caps_per_sec, 2),
         "unit": "captions/s/chip",
-        "vs_baseline": round(caps_per_sec / REF_BASELINE_CAPS_PER_SEC, 3),
         "mfu": round(caps_per_sec * gflop_caption * 1e9 / PEAK_BF16_FLOPS,
                      4),
         "gflop_per_caption": round(gflop_caption, 3),
         "dtype": dtype,
     }
-    if video:
-        # the measured/estimated baselines are flickr-shaped; a ratio
-        # against them would be meaningless for the video flavor
-        del out["vs_baseline"]
+    # vs_baseline is the MEASURED ratio (torch-CPU reference-shaped
+    # decoder on this host); the V100-class guess is demoted to a
+    # clearly-named estimate field.  The video flavor carries neither —
+    # both baselines are flickr-shaped.
     mb = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "BASELINE_MEASURED.json")
     if os.path.exists(mb) and not video:
         measured = json.load(open(mb))
         ref = float(measured["torch_cpu_caps_per_sec"])
+        out["vs_baseline"] = round(caps_per_sec / ref, 1)
         out["baseline_measured_caps_per_sec"] = ref
-        out["vs_baseline_measured"] = round(caps_per_sec / ref, 1)
+        out["vs_baseline_estimate_v100"] = round(
+            caps_per_sec / REF_BASELINE_CAPS_PER_SEC, 3)
 
     if "--no-serving" not in sys.argv and not video:
         # Serving operating point: batch 256 saturates the MXU rows the

@@ -176,12 +176,6 @@ def scene_graph(tokens: list[str]) -> set[tuple]:
     # -- relations / copular attributes ------------------------------------
     # walk tokens between consecutive NPs; conjunction-joined NPs share the
     # link ("a man and a woman riding a horse" -> both subjects).
-    def np_at(pos):
-        for k, (s, e, h, _) in enumerate(nps):
-            if s <= pos < e:
-                return k
-        return None
-
     for k in range(len(nps)):
         s0, e0, head0, _ = nps[k]
         # collect subject group: NPs joined to this one only by CONJ

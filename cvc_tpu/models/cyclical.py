@@ -95,8 +95,11 @@ def cyclical_loss(params, cfg, arrays, rng=None, train: bool = False,
     # lax.scan over the stacked [2B] batch — decode rows take the attention
     # context, reconstruct rows take v̂ (see core.decode context_mix).  At
     # B=64/H=1024 this fills the MXU rows the two separate B=64 scans
-    # leave half-idle.  Bit-for-bit math of the unfused path (same ops,
-    # wider batch); parity-tested in tests/test_model_core.py.
+    # leave half-idle.  In eval this is bit-for-bit the unfused path
+    # (same ops, wider batch; parity-tested in tests/test_model_core.py);
+    # in train mode the dropout DRAW differs (one [2B] mask from r_dec
+    # vs independent r_dec/r_loc masks per pass), so it is
+    # distribution-equivalent, not bit-equal, under dropout.
     if (enable_cycle and getattr(cfg, "cycle_localize_gt", False)
             and getattr(cfg, "fuse_cycle_scans", True) and ss_prob is None):
         return _fused_gt_cycle_loss(params, cfg, arrays, r_dec, train)

@@ -303,7 +303,9 @@ def make_decoder(cfg, eval_cfg):
     key = (repr(dataclasses.asdict(cfg)), repr(dataclasses.asdict(eval_cfg)))
     if key in _DECODER_CACHE:
         return _DECODER_CACHE[key]
-    fn = _make_decoder_uncached(cfg, eval_cfg)
+    if len(_DECODER_CACHE) >= 32:      # bound the cache (hygiene; a long
+        _DECODER_CACHE.clear()         # sweep over configs would otherwise
+    fn = _make_decoder_uncached(cfg, eval_cfg)   # grow it without limit)
     _DECODER_CACHE[key] = fn
     return fn
 

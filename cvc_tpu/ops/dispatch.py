@@ -35,6 +35,15 @@ def use_pallas(cfg) -> bool:
         if getattr(cfg, "total_regions", 0) > MAX_PALLAS_REGION_SLOTS:
             return False
         return jax.default_backend() == "tpu"
+    if up and getattr(cfg, "total_regions", 0) > MAX_PALLAS_REGION_SLOTS:
+        import warnings
+        warnings.warn(
+            f"use_pallas=True with total_regions="
+            f"{cfg.total_regions} > {MAX_PALLAS_REGION_SLOTS}: the fused "
+            f"kernels' keys/values tiles exceed the ~16MB VMEM budget at "
+            f"this width and WILL fail to compile on TPU; use "
+            f"use_pallas=None (auto) to fall back to XLA fusion.",
+            stacklevel=2)
     return bool(up)
 
 

@@ -164,9 +164,15 @@ def make_recon_probe(mc):
             arrays = {k: jnp.asarray(v) for k, v in b.model_inputs().items()}
             ls.append(float(learned(params, arrays)))
             us.append(float(unif(params, arrays)))
+        # NOTE the field name: the probe queries the localizer with the
+        # decode pass's ARGMAX words for every arm.  For the cycle_gt arm
+        # (trained on GT-word queries) that is off its training
+        # distribution — its big negative values mean "wrong-query vhat
+        # is catastrophic", not "ignores vhat"; only arms trained on
+        # argmax queries (boot after the switch, plain) read naturally.
         return {"recon_xe_learned_beta": float(np.mean(ls)),
                 "recon_xe_uniform_beta": float(np.mean(us)),
-                "vhat_dependence": float(np.mean(us) - np.mean(ls))}
+                "vhat_dependence_argmax_probe": float(np.mean(us) - np.mean(ls))}
 
     return probe
 
@@ -301,7 +307,7 @@ def main():
         all_results["seeds"][str(seed)] = seed_res
         json.dump(all_results, open(RESULTS, "w"), indent=1)
         for k in ("CIDEr", "F1_all", "F1_loc", "attn_accuracy",
-                  "F1_loc_localizer", "vhat_dependence"):
+                  "F1_loc_localizer", "vhat_dependence_argmax_probe"):
             print(f"  seed{seed} {k}: " + " ".join(
                 f"{a}={seed_res[a]['final'].get(k, 0):.4f}" for a in arms),
                 flush=True)
@@ -314,7 +320,7 @@ def main():
 
     summary = {}
     for k in ("CIDEr", "F1_all", "F1_loc", "attn_accuracy",
-              "F1_all_localizer", "F1_loc_localizer", "vhat_dependence"):
+              "F1_all_localizer", "F1_loc_localizer", "vhat_dependence_argmax_probe"):
         summary[k] = {}
         parts = []
         for a in arms:
