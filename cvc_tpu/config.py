@@ -135,6 +135,11 @@ class DataConfig:
     synthetic_unique_colors: bool = False
     synthetic_num_classes: int = 24
     synthetic_num_val_images: int = 0  # 0 = synthetic_num_images
+    synthetic_easy_frac: float = 0.0   # fraction of images with only
+    #                                   easy_regions proposals -> plain
+    #                                   attention partially self-aligns
+    #                                   (the paper's real-data regime)
+    synthetic_easy_regions: int = 12
 
 
 @dataclass
@@ -263,6 +268,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic_num_classes", type=int, default=24)
     p.add_argument("--synthetic_num_val_images", type=int, default=0,
                    help="0 = same as --synthetic_num_images")
+    p.add_argument("--synthetic_easy_frac", type=float, default=0.0,
+                   help="fraction of images with only "
+                        "--synthetic_easy_regions proposals (partial-"
+                        "alignment world; see data/synthetic.py)")
+    p.add_argument("--synthetic_easy_regions", type=int, default=12)
     p.add_argument("--feat_dim", type=int, default=2048,
                    help="region feature dim (reference: 2048-d fc6)")
     p.add_argument("--weight_decay", type=float, default=0.0)
@@ -364,6 +374,8 @@ def _defaults_from_config(cfg: Config) -> dict:
         synthetic_unique_colors=int(d.synthetic_unique_colors),
         synthetic_num_classes=d.synthetic_num_classes,
         synthetic_num_val_images=d.synthetic_num_val_images,
+        synthetic_easy_frac=d.synthetic_easy_frac,
+        synthetic_easy_regions=d.synthetic_easy_regions,
         feat_dim=m.feat_dim, weight_decay=t.weight_decay,
         seq_length=m.seq_length,
         num_props=m.num_regions, num_frames=m.num_frames,
@@ -434,6 +446,8 @@ def config_from_args(argv=None) -> Config:
     d.synthetic_unique_colors = bool(args.synthetic_unique_colors)
     d.synthetic_num_classes = args.synthetic_num_classes
     d.synthetic_num_val_images = args.synthetic_num_val_images
+    d.synthetic_easy_frac = args.synthetic_easy_frac
+    d.synthetic_easy_regions = args.synthetic_easy_regions
     d.seed = args.seed
 
     m.seq_length = args.seq_length

@@ -147,6 +147,8 @@ def load_dataset(data_cfg, model_cfg, split: str) -> CaptionDataset:
             word_order=getattr(data_cfg, "synthetic_word_order", "sorted"),
             unique_colors=getattr(data_cfg, "synthetic_unique_colors",
                                   False),
+            easy_frac=getattr(data_cfg, "synthetic_easy_frac", 0.0),
+            easy_regions=getattr(data_cfg, "synthetic_easy_regions", 12),
         )
     vocab = Vocabulary.load(data_cfg.vocab_file)
     return load_hdf5_dataset(

@@ -48,7 +48,9 @@ def make_synthetic_dataset(num_images: int = 256,
                            num_classes: int = 24,
                            seed: int = 0,
                            word_order: str = "sorted",
-                           unique_colors: bool = False) -> CaptionDataset:
+                           unique_colors: bool = False,
+                           easy_frac: float = 0.0,
+                           easy_regions: int = 12) -> CaptionDataset:
     """`word_order="shuffled"` mentions objects in random order, and
     `unique_colors=True` gives each object in an image a distinct color.
     Together they reproduce the paper's precondition on real data: the
@@ -57,7 +59,17 @@ def make_synthetic_dataset(num_images: int = 256,
     so class-word prediction *requires* word-aligned region attention
     (with "sorted", ascending class-id order lets diffuse/global context
     predict class words and grounding pressure never reaches the class
-    steps the protocol grades; experiments/README.md round-1 finding)."""
+    steps the protocol grades; experiments/README.md round-1 finding).
+
+    `easy_frac > 0` marks that fraction of images as EASY: they carry only
+    `easy_regions` proposals (the rest masked), so the attention gradient
+    is strong there (chance 1/easy_regions) and the plain decoder's
+    attention self-aligns on them, transferring PARTIAL alignment to the
+    hard images.  This reproduces the reference paper's real-data regime —
+    baseline attention partially aligned, argmax localizer queries
+    mostly-correct — which is the precondition for the reference's exact
+    bootstrap-free cycle (SURVEY.md §3.3) to amplify rather than destroy
+    alignment (experiments/README.md round-2/3 findings)."""
     del vocab_size  # vocab is derived from the generated captions
     # Split-dependent seed so train/val/test differ but are reproducible.
     rng = np.random.default_rng(seed + {"train": 0, "val": 1, "test": 2}.get(split, 3))
@@ -72,7 +84,10 @@ def make_synthetic_dataset(num_images: int = 256,
     examples: list[Example] = []
     all_captions: list[str] = []
     for i in range(num_images):
-        n_obj = int(rng.integers(2, 5))
+        nr = num_regions
+        if easy_frac > 0 and rng.uniform() < easy_frac:
+            nr = min(easy_regions, num_regions)
+        n_obj = int(rng.integers(2, min(5, nr)))
         obj_cls = np.sort(rng.choice(num_classes, size=n_obj, replace=False))
         if word_order == "shuffled":
             obj_cls = rng.permutation(obj_cls)
@@ -92,24 +107,24 @@ def make_synthetic_dataset(num_images: int = 256,
         # — grounding is learnable from features, exactly as with real
         # Faster R-CNN proposals.
         other = np.setdiff1d(np.arange(num_classes), obj_cls)
-        classes = rng.choice(other, size=(F, num_regions)).astype(np.int32)
-        feats = rng.normal(scale=0.5, size=(F, num_regions, feat_dim)).astype(np.float32)
+        classes = rng.choice(other, size=(F, nr)).astype(np.int32)
+        feats = rng.normal(scale=0.5, size=(F, nr, feat_dim)).astype(np.float32)
         feats += centers[classes]
-        boxes = np.zeros((F, num_regions, 4), dtype=np.float32)
+        boxes = np.zeros((F, nr, 4), dtype=np.float32)
         for f in range(F):
-            boxes[f] = _random_boxes(rng, num_regions)
+            boxes[f] = _random_boxes(rng, nr)
             # Distractors get their own colors too (consistent world).
             # Under unique_colors the distractors draw from the colors NOT
             # used by true objects, so a color word identifies exactly one
             # region in the image.
             if unique_colors:
                 free = np.setdiff1d(np.arange(len(_COLORS)), obj_colors)
-                dcol = rng.choice(free, size=num_regions)
+                dcol = rng.choice(free, size=nr)
             else:
-                dcol = rng.integers(0, len(_COLORS), size=num_regions)
+                dcol = rng.integers(0, len(_COLORS), size=nr)
             feats[f] += color_dirs[dcol]
             # First n_obj slots (shuffled) are true-object proposals.
-            order = rng.permutation(num_regions)
+            order = rng.permutation(nr)
             for k, c in enumerate(obj_cls):
                 slot = order[k]
                 feats[f, slot] = (rng.normal(scale=0.5, size=feat_dim)

@@ -49,8 +49,20 @@ def _make_localizer_fn(model_cfg):
     return fn
 
 
+def _batch_putter(mesh):
+    """Host batch -> device arrays; with a mesh, batch-sharded over the
+    'data' axis so validation decode runs data-parallel on the slice
+    (the reference evaluated multi-GPU through the same DataParallel
+    module it trained — SURVEY.md §5.8; GSPMD jit picks the shardings up
+    from the committed inputs, params stay in their training placement)."""
+    if mesh is None:
+        return lambda arrays: {k: jnp.asarray(v) for k, v in arrays.items()}
+    from cvc_tpu.parallel.mesh import shard_batch
+    return lambda arrays: shard_batch(mesh, arrays)
+
+
 def generate_split(params, model_cfg, eval_cfg, ds, batch_size: int,
-                   rng=None):
+                   rng=None, mesh=None):
     """Generate one caption per image.  Returns (predictions,
     grounding_samples, references) ready for the scorers."""
     import jax
@@ -62,11 +74,12 @@ def generate_split(params, model_cfg, eval_cfg, ds, batch_size: int,
     localizer_fn = _make_localizer_fn(model_cfg) if use_localizer else None
     if rng is None:
         rng = jax.random.PRNGKey(0)
+    put = _batch_putter(mesh)
 
     predictions, samples, references = [], [], {}
     for batch in make_batches(ds, model_cfg, batch_size, shuffle=False,
                               drop_last=False, unique_images=True):
-        arrays = {k: jnp.asarray(v) for k, v in batch.model_inputs().items()}
+        arrays = put(batch.model_inputs())
         if needs_rng:
             rng, sub = jax.random.split(rng)
             out = decoder(params, arrays, sub)
@@ -102,11 +115,12 @@ def generate_split(params, model_cfg, eval_cfg, ds, batch_size: int,
 
 
 def evaluate_split(params, model_cfg, eval_cfg, ds, batch_size: int,
-                   out_path: str | None = None, rng=None) -> dict:
+                   out_path: str | None = None, rng=None,
+                   mesh=None) -> dict:
     """Full protocol: caption metrics + grounding F1 (+ GT-sentence mode
     when eval_cfg.gt_sentence_mode)."""
     predictions, samples, references = generate_split(
-        params, model_cfg, eval_cfg, ds, batch_size, rng)
+        params, model_cfg, eval_cfg, ds, batch_size, rng, mesh=mesh)
     results = {}
     if eval_cfg.language_eval and predictions:
         results.update(language_eval(predictions, references,
@@ -116,7 +130,7 @@ def evaluate_split(params, model_cfg, eval_cfg, ds, batch_size: int,
         results.pop("per_class", None)
     if eval_cfg.gt_sentence_mode:
         results.update(gt_sentence_attention_eval(
-            params, model_cfg, ds, batch_size))
+            params, model_cfg, ds, batch_size, mesh=mesh))
     results["n_images"] = len(predictions)
     return results
 
@@ -144,7 +158,7 @@ def _make_tf_alpha_fn(model_cfg):
 
 
 def gt_sentence_attention_eval(params, model_cfg, ds, batch_size: int,
-                               source: str = "decoder") -> dict:
+                               source: str = "decoder", mesh=None) -> dict:
     """Teacher-forced localization accuracy: run the decode pass on GT
     captions and check the attention at annotated word positions (the
     reference's GT-sentence grounding mode).  source='decoder' uses the
@@ -154,10 +168,11 @@ def gt_sentence_attention_eval(params, model_cfg, ds, batch_size: int,
         else None
     tf_alpha_fn = _make_tf_alpha_fn(model_cfg) if source != "localizer" \
         else None
+    put = _batch_putter(mesh)
     samples = []
     for batch in make_batches(ds, model_cfg, batch_size, shuffle=False,
                               drop_last=False):
-        arrays = {k: jnp.asarray(v) for k, v in batch.model_inputs().items()}
+        arrays = put(batch.model_inputs())
         if localizer_fn is not None:
             # beta over the GT words w_1.. (positions align with word_idx)
             alphas = np.asarray(localizer_fn(params, arrays,

