@@ -14,6 +14,16 @@ import os
 
 import jax
 
+# Honor JAX_PLATFORMS=cpu despite the sandbox's sitecustomize TPU-plugin
+# override (same workaround as train.py / __graft_entry__).
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    import re
+    jax.config.update("jax_platforms", "cpu")
+    _m = re.search(r"xla_force_host_platform_device_count=(\d+)",
+                   os.environ.get("XLA_FLAGS", ""))
+    if _m:
+        jax.config.update("jax_num_cpu_devices", int(_m.group(1)))
+
 from cvc_tpu.config import config_from_args
 from cvc_tpu.data.datasets import load_dataset
 from cvc_tpu.evaluation.evaluator import evaluate_split
