@@ -277,6 +277,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="region feature dim (reference: 2048-d fc6)")
     p.add_argument("--weight_decay", type=float, default=0.0)
     p.add_argument("--seq_length", type=int, default=20)
+    p.add_argument("--global_feat_dim", type=int, default=-1,
+                   help="segment-level global feature dim (-1 = dataset "
+                        "default: 3072 for anet, else 0 = mean-pool)")
     p.add_argument("--num_props", type=int, default=100,
                    help="region proposals per image/frame (padded to a static shape)")
     p.add_argument("--num_frames", type=int, default=1)
@@ -467,9 +470,12 @@ def config_from_args(argv=None) -> Config:
     m.scan_unroll = args.scan_unroll
     m.train_scan_unroll = args.train_scan_unroll
     m.dtype = args.dtype
+    if args.global_feat_dim >= 0:
+        m.global_feat_dim = args.global_feat_dim
     if args.dataset == "anet" and args.num_frames == 1:
         m.num_frames = 10
-        m.global_feat_dim = 3072
+        if args.global_feat_dim < 0:
+            m.global_feat_dim = 3072
 
     t.learning_rate = args.learning_rate
     t.learning_rate_decay_start = args.learning_rate_decay_start

@@ -36,6 +36,11 @@ ARM_FLAGS = {
     # the r2 bootstrap arm, for comparison rows
     "boot": ["--enable_cycle", "1", "--cycle_after", "8",
              "--cycle_gt_until", "24"],
+    # --obj_interact ablation arms (VERDICT r2 next-round #7): region
+    # self-attention in the encoder, GVD's first-class flag
+    "plain_oi": ["--enable_cycle", "0", "--obj_interact", "1"],
+    "cycle_oi": ["--enable_cycle", "1", "--cycle_after", "8",
+                 "--cycle_gt_until", "0", "--obj_interact", "1"],
 }
 
 
@@ -49,7 +54,9 @@ def common_flags(a, seed):
         "--synthetic_num_classes", "48",
         "--synthetic_easy_frac", str(a.easy_frac),
         "--synthetic_easy_regions", str(a.easy_regions),
-        "--num_props", "72", "--feat_dim", "512",
+        "--num_props", str(a.regions), "--feat_dim", "512",
+        "--num_frames", str(a.frames),
+        *(["--global_feat_dim", "512"] if a.frames > 1 else []),
         "--rnn_size", "192", "--input_encoding_size", "64",
         "--att_hid_size", "96", "--seq_length", "16",
         "--drop_prob_lm", "0.4", "--batch_size", "128",
@@ -100,6 +107,10 @@ def main():
     ap.add_argument("--epochs", type=int, default=48)
     ap.add_argument("--images", type=int, default=24000)
     ap.add_argument("--val_every", type=int, default=8)
+    ap.add_argument("--regions", type=int, default=72)
+    ap.add_argument("--frames", type=int, default=1,
+                    help=">1 = ANet-video-shaped world (frames x regions "
+                         "attention, the Pallas gate's XLA fallback)")
     ap.add_argument("--out", default=None,
                     help="results JSON (default experiments/<tag>.json)")
     a = ap.parse_args()

@@ -1,0 +1,116 @@
+#!/usr/bin/env python
+"""SCST demonstration (VERDICT r2 next-round #4): from a shared
+XE-converged checkpoint, branch (a) continued XE and (b) SCST
+(`--self_critical_after`), and show SCST lifting val CIDEr over the XE
+plateau — through the public CLI, >=2 seeds.
+
+Reference lineage: `misc/rewards.py` (self-critical.pytorch) — sampled
+caption reward minus greedy baseline reward, CIDEr-D with corpus DF.
+
+Usage: python experiments/run_scst_demo.py --seeds 123,7
+"""
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def world_flags(seed, images, epochs, val_every):
+    return [
+        "--dataset", "synthetic", "--synthetic_word_order", "shuffled",
+        "--synthetic_unique_colors", "1",
+        "--synthetic_num_images", str(images),
+        "--synthetic_num_val_images", "256",
+        "--synthetic_vocab_size", "128", "--synthetic_num_classes", "24",
+        "--num_props", "36", "--feat_dim", "512", "--rnn_size", "192",
+        "--input_encoding_size", "64", "--att_hid_size", "96",
+        "--seq_length", "16", "--drop_prob_lm", "0.4",
+        "--batch_size", "128", "--max_epochs", str(epochs),
+        "--learning_rate", "2e-3",
+        "--learning_rate_decay_start", "12",
+        "--learning_rate_decay_every", "4",
+        "--learning_rate_decay_rate", "0.5",
+        "--weight_decay", "1e-4", "--grad_clip", "5",
+        "--val_every_epoch", str(val_every),
+        "--losses_log_every", "2000",
+        "--language_eval", "1", "--grounding_eval", "1",
+        "--enable_cycle", "0", "--seed", str(seed),
+    ]
+
+
+def parse_val(path):
+    traj = []
+    for line in open(path, errors="replace"):
+        if "val/CIDEr" in line:
+            m = dict(re.findall(r"val/([\w.]+)=([0-9.]+)", line))
+            step = re.match(r"\[step (\d+)\]", line)
+            traj.append({"step": int(step.group(1)) if step else -1,
+                         **{k: float(v) for k, v in m.items()}})
+    return traj
+
+
+def run(name, args_list):
+    log = f"/tmp/{name}.log"
+    cmd = [sys.executable, "train.py", *args_list,
+           "--checkpoint_path", f"/tmp/{name}", "--id", name]
+    print("->", name, flush=True)
+    with open(log, "w") as f:
+        p = subprocess.run(cmd, stdout=f, stderr=subprocess.STDOUT,
+                           cwd=REPO)
+    if p.returncode != 0:
+        print(open(log, errors="replace").read()[-1500:], flush=True)
+        raise SystemExit(f"{name} failed")
+    return parse_val(log)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seeds", default="123,7")
+    ap.add_argument("--images", type=int, default=8000)
+    ap.add_argument("--xe_epochs", type=int, default=20)
+    ap.add_argument("--total_epochs", type=int, default=32)
+    ap.add_argument("--scst_xe_weight", default="0.0")
+    a = ap.parse_args()
+
+    results = {"config": vars(a), "runs": {}}
+    out_path = os.path.join(REPO, "experiments", "scst_results.json")
+    for seed in [int(s) for s in a.seeds.split(",")]:
+        base = f"scst_base_s{seed}"
+        base_traj = run(base, [
+            *world_flags(seed, a.images, a.xe_epochs, 4),
+            "--device_resident", "1",
+            "--save_checkpoint_every", str(a.xe_epochs)])
+        results["runs"][base] = {"trajectory": base_traj}
+
+        cont = [  # both branches resume the SAME XE checkpoint
+            *world_flags(seed, a.images, a.total_epochs, 2),
+            "--device_resident", "0",
+            "--start_from", f"/tmp/{base}",
+            "--save_checkpoint_every", str(a.total_epochs)]
+        xe_traj = run(f"scst_xecont_s{seed}", cont)
+        scst_traj = run(f"scst_scst_s{seed}", [
+            *cont, "--self_critical_after", str(a.xe_epochs),
+            "--scst_xe_weight", a.scst_xe_weight])
+        results["runs"][f"xecont_s{seed}"] = {"trajectory": xe_traj}
+        results["runs"][f"scst_s{seed}"] = {"trajectory": scst_traj}
+        results["runs"][f"summary_s{seed}"] = {
+            "xe_plateau_cider": base_traj[-1]["CIDEr"] if base_traj
+            else None,
+            "xe_cont_final_cider": xe_traj[-1]["CIDEr"] if xe_traj
+            else None,
+            "scst_final_cider": scst_traj[-1]["CIDEr"] if scst_traj
+            else None,
+        }
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1)
+        print(json.dumps(results["runs"][f"summary_s{seed}"]), flush=True)
+    print("wrote", out_path, flush=True)
+
+
+if __name__ == "__main__":
+    main()
