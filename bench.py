@@ -188,20 +188,24 @@ def main():
     up = False if "--no-pallas" in sys.argv else (
         True if "--pallas" in sys.argv else None)
     video = "--video" in sys.argv
+    # --obj-interact: region self-attention in the encoder (GVD's
+    # --obj_interact flag) — one transformer layer over the S region slots
+    oi = {"obj_interact": True} if "--obj-interact" in sys.argv else {}
     if video:
         # ANet-Entities flavor: 10 frames x 100 proposals (padded to
         # 10x128 slots) + a 3072-d segment appearance+motion feature
         cfg = flagship_config(use_pallas=up, dtype=dtype, num_frames=10,
-                              global_feat_dim=3072)
+                              global_feat_dim=3072, **oi)
     else:
-        cfg = flagship_config(use_pallas=up, dtype=dtype)
+        cfg = flagship_config(use_pallas=up, dtype=dtype, **oi)
     params = core.init_params(jax.random.PRNGKey(0), cfg)
 
     caps_per_sec = bench_decode(cfg, params)
     gflop_caption = caption_flops(cfg, BEAM) / 1e9
     out = {
         "metric": ("captions_per_sec_per_chip_beam5_anet_video" if video
-                   else "captions_per_sec_per_chip_beam5_flickr30k"),
+                   else "captions_per_sec_per_chip_beam5_flickr30k")
+        + ("_obj_interact" if oi else ""),
         "value": round(caps_per_sec, 2),
         "unit": "captions/s/chip",
         "mfu": round(caps_per_sec * gflop_caption * 1e9 / PEAK_BF16_FLOPS,

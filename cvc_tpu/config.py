@@ -140,6 +140,9 @@ class DataConfig:
     #                                   attention partially self-aligns
     #                                   (the paper's real-data regime)
     synthetic_easy_regions: int = 12
+    synthetic_class_skew: float = 0.0  # Zipf exponent for object classes
+    #                                   (frequent-head/rare-tail partial-
+    #                                   alignment regime; data/synthetic.py)
 
 
 @dataclass
@@ -273,6 +276,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "--synthetic_easy_regions proposals (partial-"
                         "alignment world; see data/synthetic.py)")
     p.add_argument("--synthetic_easy_regions", type=int, default=12)
+    p.add_argument("--synthetic_class_skew", type=float, default=0.0,
+                   help="Zipf exponent for object-class sampling (0 = "
+                        "uniform; ~1 = real-data-like head/tail)")
     p.add_argument("--feat_dim", type=int, default=2048,
                    help="region feature dim (reference: 2048-d fc6)")
     p.add_argument("--weight_decay", type=float, default=0.0)
@@ -379,6 +385,7 @@ def _defaults_from_config(cfg: Config) -> dict:
         synthetic_num_val_images=d.synthetic_num_val_images,
         synthetic_easy_frac=d.synthetic_easy_frac,
         synthetic_easy_regions=d.synthetic_easy_regions,
+        synthetic_class_skew=d.synthetic_class_skew,
         feat_dim=m.feat_dim, weight_decay=t.weight_decay,
         seq_length=m.seq_length,
         num_props=m.num_regions, num_frames=m.num_frames,
@@ -451,6 +458,7 @@ def config_from_args(argv=None) -> Config:
     d.synthetic_num_val_images = args.synthetic_num_val_images
     d.synthetic_easy_frac = args.synthetic_easy_frac
     d.synthetic_easy_regions = args.synthetic_easy_regions
+    d.synthetic_class_skew = args.synthetic_class_skew
     d.seed = args.seed
 
     m.seq_length = args.seq_length

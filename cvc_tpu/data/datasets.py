@@ -149,6 +149,7 @@ def load_dataset(data_cfg, model_cfg, split: str) -> CaptionDataset:
                                   False),
             easy_frac=getattr(data_cfg, "synthetic_easy_frac", 0.0),
             easy_regions=getattr(data_cfg, "synthetic_easy_regions", 12),
+            class_skew=getattr(data_cfg, "synthetic_class_skew", 0.0),
         )
     vocab = Vocabulary.load(data_cfg.vocab_file)
     return load_hdf5_dataset(

@@ -50,7 +50,8 @@ def make_synthetic_dataset(num_images: int = 256,
                            word_order: str = "sorted",
                            unique_colors: bool = False,
                            easy_frac: float = 0.0,
-                           easy_regions: int = 12) -> CaptionDataset:
+                           easy_regions: int = 12,
+                           class_skew: float = 0.0) -> CaptionDataset:
     """`word_order="shuffled"` mentions objects in random order, and
     `unique_colors=True` gives each object in an image a distinct color.
     Together they reproduce the paper's precondition on real data: the
@@ -69,7 +70,16 @@ def make_synthetic_dataset(num_images: int = 256,
     baseline attention partially aligned, argmax localizer queries
     mostly-correct — which is the precondition for the reference's exact
     bootstrap-free cycle (SURVEY.md §3.3) to amplify rather than destroy
-    alignment (experiments/README.md round-2/3 findings)."""
+    alignment (experiments/README.md round-2/3 findings).
+
+    `class_skew > 0` draws object classes Zipf-style (p(rank r) ∝
+    1/(r+1)^skew) — the OTHER route to partial alignment, and the one real
+    data actually has: frequent classes get many more attention-gradient
+    updates and align early, rare classes lag, so at any mid-training
+    point the decoder's attention (and its argmax class words) are correct
+    on a head of classes and wrong on the tail.  Macro (per-class)
+    grounding F1 then reads "partial" exactly the way Flickr30k/ANet
+    baselines do."""
     del vocab_size  # vocab is derived from the generated captions
     # Split-dependent seed so train/val/test differ but are reproducible.
     rng = np.random.default_rng(seed + {"train": 0, "val": 1, "test": 2}.get(split, 3))
@@ -83,12 +93,18 @@ def make_synthetic_dataset(num_images: int = 256,
 
     examples: list[Example] = []
     all_captions: list[str] = []
+    class_p = None
+    if class_skew > 0:
+        class_p = 1.0 / np.power(np.arange(1, num_classes + 1), class_skew)
+        class_p /= class_p.sum()
+
     for i in range(num_images):
         nr = num_regions
         if easy_frac > 0 and rng.uniform() < easy_frac:
             nr = min(easy_regions, num_regions)
         n_obj = int(rng.integers(2, min(5, nr)))
-        obj_cls = np.sort(rng.choice(num_classes, size=n_obj, replace=False))
+        obj_cls = np.sort(rng.choice(num_classes, size=n_obj, replace=False,
+                                     p=class_p))
         if word_order == "shuffled":
             obj_cls = rng.permutation(obj_cls)
         # With "sorted", caption order = ascending class id: recoverable

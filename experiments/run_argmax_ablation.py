@@ -54,6 +54,7 @@ def common_flags(a, seed):
         "--synthetic_num_classes", "48",
         "--synthetic_easy_frac", str(a.easy_frac),
         "--synthetic_easy_regions", str(a.easy_regions),
+        "--synthetic_class_skew", str(a.class_skew),
         "--num_props", str(a.regions), "--feat_dim", "512",
         "--num_frames", str(a.frames),
         *(["--global_feat_dim", "512"] if a.frames > 1 else []),
@@ -104,6 +105,7 @@ def main():
     ap.add_argument("--arms", default="plain,cycle")
     ap.add_argument("--easy_frac", type=float, default=0.25)
     ap.add_argument("--easy_regions", type=int, default=12)
+    ap.add_argument("--class_skew", type=float, default=0.0)
     ap.add_argument("--epochs", type=int, default=48)
     ap.add_argument("--images", type=int, default=24000)
     ap.add_argument("--val_every", type=int, default=8)
