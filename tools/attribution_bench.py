@@ -48,7 +48,12 @@ def main():
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--train", action="store_true")
+    ap.add_argument("--tiny", action="store_true",
+                    help="tiny shapes on CPU (smoke test of the harness)")
     a = ap.parse_args()
+    if a.tiny:
+        import jax as _j
+        _j.config.update("jax_platforms", "cpu")
 
     from bench import (BEAM, SEQ, caption_flops, flagship_config,
                        random_arrays, train_image_flops)
@@ -57,7 +62,11 @@ def main():
     from cvc_tpu.models.decoding import make_decoder
 
     B = a.batch
-    cfg = flagship_config()
+    cfg = (flagship_config(vocab_size=512, rnn_size=128,
+                           input_encoding_size=64, att_hid_size=64,
+                           feat_dim=128, num_regions=16, num_classes=32,
+                           class_emb_dim=16)
+           if a.tiny else flagship_config())
     params = core.init_params(jax.random.PRNGKey(0), cfg)
     arrays = jax.device_put(random_arrays(cfg, B))
     rows = []
