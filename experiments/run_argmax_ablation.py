@@ -55,7 +55,7 @@ def common_flags(a, seed):
         "--synthetic_easy_frac", str(a.easy_frac),
         "--synthetic_easy_regions", str(a.easy_regions),
         "--synthetic_class_skew", str(a.class_skew),
-        "--num_props", str(a.regions), "--feat_dim", "512",
+        "--num_props", str(a.regions), "--feat_dim", str(a.feat_dim),
         "--num_frames", str(a.frames),
         *(["--global_feat_dim", "512"] if a.frames > 1 else []),
         "--rnn_size", "192", "--input_encoding_size", "64",
@@ -110,6 +110,7 @@ def main():
     ap.add_argument("--images", type=int, default=24000)
     ap.add_argument("--val_every", type=int, default=8)
     ap.add_argument("--regions", type=int, default=72)
+    ap.add_argument("--feat_dim", type=int, default=512)
     ap.add_argument("--frames", type=int, default=1,
                     help=">1 = ANet-video-shaped world (frames x regions "
                          "attention, the Pallas gate's XLA fallback)")
