@@ -139,3 +139,30 @@ def test_gvd_dress_rehearsal_convert_train_eval(tmp_path):
     assert (tmp_path / "ckpt").exists()
     # val eval produced caption metrics (best_cider recorded, >= 0)
     assert infos["best_cider"] >= 0.0
+
+
+def test_synthetic_easy_frac_and_class_skew():
+    """The partial-alignment world knobs (round 3): easy images carry
+    fewer proposals; class_skew draws a Zipfian head/tail."""
+    import numpy as np
+    from cvc_tpu.data.synthetic import make_synthetic_dataset
+    ds = make_synthetic_dataset(num_images=300, num_regions=48,
+                                feat_dim=32, num_classes=24,
+                                word_order="shuffled", unique_colors=True,
+                                easy_frac=0.3, easy_regions=8,
+                                class_skew=1.0, seed=0)
+    sizes = np.array([ex.features.shape[0] for ex in ds.examples])
+    assert set(sizes) == {8, 48}
+    frac = (sizes == 8).mean()
+    assert 0.15 < frac < 0.45          # ~binomial(0.3)
+    # Zipf head: the most frequent class appears far more often than tail
+    counts = np.zeros(24)
+    for ex in ds.examples:
+        for e in ex.entities:
+            counts[e.class_id] += 1
+    order = np.sort(counts)[::-1]
+    assert order[0] > 4 * max(order[-1], 1)
+    # easy images remain consistent worlds: every entity has its region
+    for ex in ds.examples[:20]:
+        for e in ex.entities:
+            assert (ex.classes == e.class_id).sum() >= 1
