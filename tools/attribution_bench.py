@@ -50,6 +50,8 @@ def main():
     ap.add_argument("--train", action="store_true")
     ap.add_argument("--tiny", action="store_true",
                     help="tiny shapes on CPU (smoke test of the harness)")
+    ap.add_argument("--dtype", default="bfloat16",
+                    help="activation dtype; bench.py's headline is bf16")
     a = ap.parse_args()
     if a.tiny:
         import jax as _j
@@ -62,11 +64,12 @@ def main():
     from cvc_tpu.models.decoding import make_decoder
 
     B = a.batch
+    # match bench.py's headline operating point (bf16, auto dispatch)
     cfg = (flagship_config(vocab_size=512, rnn_size=128,
                            input_encoding_size=64, att_hid_size=64,
                            feat_dim=128, num_regions=16, num_classes=32,
                            class_emb_dim=16)
-           if a.tiny else flagship_config())
+           if a.tiny else flagship_config(dtype=a.dtype, use_pallas=None))
     params = core.init_params(jax.random.PRNGKey(0), cfg)
     arrays = jax.device_put(random_arrays(cfg, B))
     rows = []
