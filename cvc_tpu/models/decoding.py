@@ -30,6 +30,11 @@ from cvc_tpu.models import core
 
 NEG_INF = jnp.float32(-1e30)
 
+# Measured dead end (v5e, [320, 8704] k=5): a block-tiled two-stage
+# top-k (per-512-tile top-k, then top-k over tile winners) is 1.3-2.6x
+# SLOWER than the flat lax.top_k — the TPU TopK custom call prefers few
+# wide rows over many narrow ones.  Keep stage 1 flat.
+
 
 def _encode(params, cfg, arrays):
     return core.encode_regions(
@@ -201,22 +206,32 @@ def beam_search(params, cfg, arrays, beam_size: int, max_len: int,
         carry, logits, alpha = _beam_step(
             params, cfg, s["carry"], s["word"].reshape(B * K), v_enc,
             keys, region_mask, vg_pre_k, B, K)
-        logp = jax.nn.log_softmax(logits).reshape(B, K, V)
+        # Per-beam top-K over the RAW logits: log_softmax is a per-row
+        # monotone shift, so candidate identity and in-beam order are
+        # unchanged, and the [B*K, V] log-softmax / finished-mask / score
+        # tensors the naive formulation materializes between the head
+        # matmul and the TopK custom call never exist.  The normalizer
+        # comes back as one fused logsumexp reduction over the same
+        # logits, applied to the K survivors only.
+        v1, idx1 = jax.lax.top_k(logits, K)                      # [B*K, K]
+        lse = jax.nn.logsumexp(logits, axis=-1)                  # [B*K]
+        lp1 = (v1 - lse[:, None]).reshape(B, K, K)
+        idx1 = idx1.reshape(B, K, K).astype(jnp.int32)
 
-        # Finished beams: only PAD, at zero cost (score freezes).
-        pad_only = jnp.full((V,), NEG_INF).at[PAD_ID].set(0.0)
-        logp = jnp.where(s["finished"][..., None], pad_only[None, None, :],
-                         logp)
-        cand = s["logprobs"][..., None] + logp                   # [B, K, V]
+        # Finished beams: only PAD, at zero cost (score freezes) — applied
+        # at candidate level: slot 0 := (PAD, 0.0), rest -inf.
+        slot0 = (jnp.arange(K) == 0)[None, None, :]
+        lp1 = jnp.where(s["finished"][..., None],
+                        jnp.where(slot0, 0.0, NEG_INF), lp1)
+        idx1 = jnp.where(s["finished"][..., None], PAD_ID, idx1)
+        cand = s["logprobs"][..., None] + lp1                    # [B, K, K]
         # t == 0: all beams identical -> keep only beam 0's candidates.
         beam_live = (jnp.arange(K) == 0)[None, :, None]
         cand = jnp.where((t == 0) & ~beam_live, NEG_INF, cand)
 
-        # Two-stage selection: per-beam top-K over V, then top-K over the
-        # K*K survivors — equivalent to one top-K over K*V (any global
-        # winner is within its own beam's top K) at a fraction of the cost.
-        lp1, idx1 = jax.lax.top_k(cand.reshape(B * K, V), K)     # [B*K, K]
-        lp1 = lp1.reshape(B, K * K)
+        # Second stage: top-K over the K*K survivors — equivalent to one
+        # top-K over K*V (any global winner is within its own beam's top K).
+        lp1 = cand.reshape(B, K * K)
         idx1 = idx1.reshape(B, K * K)
         top_lp, pos = jax.lax.top_k(lp1, K)                      # [B, K]
         parent = pos // K

@@ -106,8 +106,10 @@ def _attention_fwd(keys, q, w, v, mask, block_b, interpret):
     return (ctx, alpha), (keys, q, w, v, mask, alpha)
 
 
-def _attention_bwd(block_b, interpret, res, grads):
-    del block_b, interpret
+def _bwd_oracle(res, grads):
+    """Pure-jnp backward (the test oracle; XLA materializes the [B,S,A]
+    tanh and its cotangent in HBM here — the Pallas bwd below avoids
+    that by recomputing them in VMEM)."""
     keys, q, w, v, mask, alpha = res
     g_ctx, g_alpha = grads
     a_dt = alpha.astype(v.dtype)
@@ -124,6 +126,102 @@ def _attention_bwd(block_b, interpret, res, grads):
     dq = jnp.sum(de, axis=1)
     dw = jnp.sum(d_scores[..., None].astype(u.dtype) * u, axis=(0, 1))
     return dkeys, dq, dw, dv, None
+
+
+def _bwd_kernel(keys_ref, q_ref, w_ref, v_ref, alpha_ref, gctx_ref,
+                galpha_ref, dkeys_ref, dq_ref, dw_ref, dv_ref):
+    """Backward block: recompute e = tanh(keys+q) in VMEM (never saved to
+    HBM by the forward), emit dkeys/dq/dv for this batch block and
+    accumulate dw across grid steps (all blocks map to dw block 0)."""
+    keys = keys_ref[:]                       # [bB, S, A]
+    q = q_ref[:]                             # [bB, A]
+    w = w_ref[0]                             # [A]
+    v = v_ref[:]                             # [bB, S, H]
+    alpha = alpha_ref[:]                     # [bB, S] f32
+    g_ctx = gctx_ref[:]                      # [bB, H]
+    g_alpha = galpha_ref[:]                  # [bB, S]
+
+    a_dt = alpha.astype(v.dtype)
+    dv_ref[:] = a_dt[..., None] * g_ctx[:, None, :]
+    d_alpha = jnp.sum(v * g_ctx[:, None, :], axis=-1,
+                      dtype=jnp.float32) + g_alpha.astype(jnp.float32)
+    inner = jnp.sum(alpha * d_alpha, axis=-1, keepdims=True)
+    d_scores = alpha * (d_alpha - inner)                      # [bB, S] f32
+    u = jnp.tanh(keys + q[:, None, :])
+    de = (d_scores.astype(keys.dtype))[..., None] * w[None, None, :] \
+        * (1.0 - u * u)
+    dkeys_ref[:] = de
+    dq_ref[:] = jnp.sum(de, axis=1)
+    dw_part = jnp.sum(d_scores[..., None].astype(jnp.float32)
+                      * u.astype(jnp.float32), axis=(0, 1))   # [A] f32
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+
+    dw_ref[0, :] += dw_part
+
+
+def _bwd_pallas(res, grads, *, block_b: int, interpret: bool):
+    keys, q, w, v, mask, alpha = res
+    g_ctx, g_alpha = grads
+    B, S, A = keys.shape
+    H = v.shape[-1]
+    # The bwd tile holds ~3x the fwd's per-row VMEM (keys+e+de on the A
+    # side, v+dv on the H side), double-buffered by Mosaic: shrink the
+    # batch block until the tile fits the ~16 MB scoped-vmem budget.
+    # Mosaic needs >=8 rows in 2-D blocks; if even block_b=8 does not
+    # fit (f32 at flagship widths), fall back to the jnp backward.
+    bytes_per_row = 2 * (3 * S * A + 2 * S * H) * keys.dtype.itemsize
+    while block_b > 8 and block_b * bytes_per_row > 12 * 2 ** 20:
+        block_b //= 2
+    if block_b * bytes_per_row > 12 * 2 ** 20 and not interpret:
+        return _bwd_oracle(res, grads)
+    grid = (pl.cdiv(B, block_b),)
+    kernel = pl.pallas_call(
+        _bwd_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((block_b, S, A), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, A), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, A), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, S, H), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, S), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, H), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, S), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_b, S, A), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, A), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, A), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, S, H), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, S, A), keys.dtype),
+            jax.ShapeDtypeStruct((B, A), q.dtype),
+            jax.ShapeDtypeStruct((1, A), jnp.float32),
+            jax.ShapeDtypeStruct((B, S, H), v.dtype),
+        ),
+        interpret=interpret,
+    )
+    g_alpha = jnp.zeros_like(alpha) if g_alpha is None else g_alpha
+    dkeys, dq, dw, dv = kernel(keys, q, w[None, :], v, alpha,
+                               g_ctx.astype(v.dtype),
+                               g_alpha.astype(jnp.float32))
+    return dkeys, dq, dw[0].astype(w.dtype), dv, None
+
+
+def _attention_bwd(block_b, interpret, res, grads):
+    return _bwd_pallas(res, grads, block_b=block_b, interpret=interpret)
 
 
 fused_additive_attention.defvjp(_attention_fwd, _attention_bwd)

@@ -75,30 +75,49 @@ def main():
     ap.add_argument("--xe_epochs", type=int, default=20)
     ap.add_argument("--total_epochs", type=int, default=32)
     ap.add_argument("--scst_xe_weight", default="0.0")
+    ap.add_argument("--branch_lr", default=None,
+                    help="LR for BOTH continuation branches (reference "
+                         "practice drops LR at the SCST switch; applying "
+                         "it to the XE control too keeps the objective "
+                         "the only difference). Disables LR decay.")
+    ap.add_argument("--skip_base", action="store_true",
+                    help="reuse /tmp/scst_base_s<seed> checkpoints")
+    ap.add_argument("--suffix", default="",
+                    help="suffix for branch run names / result keys")
     a = ap.parse_args()
 
-    results = {"config": vars(a), "runs": {}}
     out_path = os.path.join(REPO, "experiments", "scst_results.json")
+    results = {"config": vars(a), "runs": {}}
+    if os.path.exists(out_path):          # keep earlier arms side by side
+        results["runs"] = json.load(open(out_path)).get("runs", {})
     for seed in [int(s) for s in a.seeds.split(",")]:
         base = f"scst_base_s{seed}"
-        base_traj = run(base, [
-            *world_flags(seed, a.images, a.xe_epochs, 4),
-            "--device_resident", "1",
-            "--save_checkpoint_every", str(a.xe_epochs)])
-        results["runs"][base] = {"trajectory": base_traj}
+        if not a.skip_base:
+            base_traj = run(base, [
+                *world_flags(seed, a.images, a.xe_epochs, 4),
+                "--device_resident", "1",
+                "--save_checkpoint_every", str(a.xe_epochs)])
+            results["runs"][base] = {"trajectory": base_traj}
+        else:
+            base_traj = results["runs"].get(base, {}).get("trajectory", [])
 
         cont = [  # both branches resume the SAME XE checkpoint
             *world_flags(seed, a.images, a.total_epochs, 2),
             "--device_resident", "0",
             "--start_from", f"/tmp/{base}",
             "--save_checkpoint_every", str(a.total_epochs)]
-        xe_traj = run(f"scst_xecont_s{seed}", cont)
-        scst_traj = run(f"scst_scst_s{seed}", [
+        if a.branch_lr is not None:
+            cont += ["--learning_rate", a.branch_lr,
+                     "--learning_rate_decay_start", str(10 ** 6),
+                     "--losses_log_every", "200"]
+        sfx = a.suffix
+        xe_traj = run(f"scst_xecont{sfx}_s{seed}", cont)
+        scst_traj = run(f"scst_scst{sfx}_s{seed}", [
             *cont, "--self_critical_after", str(a.xe_epochs),
             "--scst_xe_weight", a.scst_xe_weight])
-        results["runs"][f"xecont_s{seed}"] = {"trajectory": xe_traj}
-        results["runs"][f"scst_s{seed}"] = {"trajectory": scst_traj}
-        results["runs"][f"summary_s{seed}"] = {
+        results["runs"][f"xecont{sfx}_s{seed}"] = {"trajectory": xe_traj}
+        results["runs"][f"scst{sfx}_s{seed}"] = {"trajectory": scst_traj}
+        results["runs"][f"summary{sfx}_s{seed}"] = {
             "xe_plateau_cider": base_traj[-1]["CIDEr"] if base_traj
             else None,
             "xe_cont_final_cider": xe_traj[-1]["CIDEr"] if xe_traj
@@ -108,7 +127,8 @@ def main():
         }
         with open(out_path, "w") as f:
             json.dump(results, f, indent=1)
-        print(json.dumps(results["runs"][f"summary_s{seed}"]), flush=True)
+        print(json.dumps(results["runs"][f"summary{sfx}_s{seed}"]),
+              flush=True)
     print("wrote", out_path, flush=True)
 
 

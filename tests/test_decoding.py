@@ -163,3 +163,4 @@ def test_beam_all_beams_sorted_scores(setup):
     sc = np.asarray(out["all_scores"])
     best = np.asarray(out["scores"])
     assert np.allclose(best, sc.max(1))
+

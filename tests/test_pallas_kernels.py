@@ -160,3 +160,20 @@ def test_fused_beam_decoder_core_fully_masked_row():
         block_b=2, interpret=True)
     assert np.isfinite(np.asarray(ctx)).all()
     np.testing.assert_allclose(np.asarray(alpha), 0.0, atol=1e-9)
+
+
+def test_attention_grads_fully_masked_row_finite():
+    """Backward kernel: a fully-masked row yields zero dkeys/dq and finite
+    everything (alpha rows are 0 there, so softmax-bwd must not NaN)."""
+    keys, q, w, v, mask = _attn_inputs(B=4, S=8, A=16, H=12)
+    mask = mask.at[0].set(0.0)
+
+    def loss(keys, q, w, v):
+        ctx, alpha = fused_additive_attention(keys, q, w, v, mask, 4, True)
+        return jnp.sum(ctx * ctx) + jnp.sum(alpha ** 3)
+
+    gk, gq, gw, gv = jax.grad(loss, argnums=(0, 1, 2, 3))(keys, q, w, v)
+    for g in (gk, gq, gw, gv):
+        assert np.isfinite(np.asarray(g)).all()
+    np.testing.assert_allclose(np.asarray(gk)[0], 0.0)
+    np.testing.assert_allclose(np.asarray(gq)[0], 0.0)
