@@ -128,11 +128,16 @@ def _bwd_oracle(res, grads):
     return dkeys, dq, dw, dv, None
 
 
-def _bwd_kernel(keys_ref, q_ref, w_ref, v_ref, alpha_ref, gctx_ref,
+def _bwd_kernel(nrows, keys_ref, q_ref, w_ref, v_ref, alpha_ref, gctx_ref,
                 galpha_ref, dkeys_ref, dq_ref, dw_ref, dv_ref):
     """Backward block: recompute e = tanh(keys+q) in VMEM (never saved to
     HBM by the forward), emit dkeys/dq/dv for this batch block and
-    accumulate dw across grid steps (all blocks map to dw block 0)."""
+    accumulate dw across grid steps (all blocks map to dw block 0).
+
+    `nrows` is the true batch size: when B % block_b != 0 the last block's
+    padding rows hold unspecified memory, and dw REDUCES over rows — the
+    validity mask keeps that garbage out of the accumulation (per-row
+    outputs are simply dropped by Pallas, but reductions are not)."""
     keys = keys_ref[:]                       # [bB, S, A]
     q = q_ref[:]                             # [bB, A]
     w = w_ref[0]                             # [A]
@@ -141,13 +146,20 @@ def _bwd_kernel(keys_ref, q_ref, w_ref, v_ref, alpha_ref, gctx_ref,
     g_ctx = gctx_ref[:]                      # [bB, H]
     g_alpha = galpha_ref[:]                  # [bB, S]
 
+    bB = alpha.shape[0]
+    row = (pl.program_id(0) * bB
+           + jax.lax.broadcasted_iota(jnp.int32, (bB, 1), 0))
+    valid = row < nrows                      # [bB, 1]
+
     a_dt = alpha.astype(v.dtype)
     dv_ref[:] = a_dt[..., None] * g_ctx[:, None, :]
     d_alpha = jnp.sum(v * g_ctx[:, None, :], axis=-1,
                       dtype=jnp.float32) + g_alpha.astype(jnp.float32)
     inner = jnp.sum(alpha * d_alpha, axis=-1, keepdims=True)
     d_scores = alpha * (d_alpha - inner)                      # [bB, S] f32
+    d_scores = jnp.where(valid, d_scores, 0.0)
     u = jnp.tanh(keys + q[:, None, :])
+    u = jnp.where(valid[..., None], u, 0.0)
     de = (d_scores.astype(keys.dtype))[..., None] * w[None, None, :] \
         * (1.0 - u * u)
     dkeys_ref[:] = de
@@ -157,7 +169,7 @@ def _bwd_kernel(keys_ref, q_ref, w_ref, v_ref, alpha_ref, gctx_ref,
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
-        dw_ref[:] = jnp.zeros_like(dw_ref)
+        dw_ref[:] = jnp.zeros(dw_ref.shape, dw_ref.dtype)
 
     dw_ref[0, :] += dw_part
 
@@ -179,7 +191,7 @@ def _bwd_pallas(res, grads, *, block_b: int, interpret: bool):
         return _bwd_oracle(res, grads)
     grid = (pl.cdiv(B, block_b),)
     kernel = pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, B),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_b, S, A), lambda i: (i, 0, 0),

@@ -177,3 +177,27 @@ def test_attention_grads_fully_masked_row_finite():
         assert np.isfinite(np.asarray(g)).all()
     np.testing.assert_allclose(np.asarray(gk)[0], 0.0)
     np.testing.assert_allclose(np.asarray(gq)[0], 0.0)
+
+
+def test_attention_grads_padded_block_and_multiblock():
+    """dw reduces over batch rows: blocks that pad past B (B % block != 0)
+    and multi-block grids must both keep padding garbage out of the
+    accumulation (regression: NaN dw at B=4, block=8)."""
+    keys, q, w, v, mask = _attn_inputs(B=6, S=8, A=16, H=12)
+
+    def mk(block):
+        def loss(keys, q, w, v):
+            ctx, alpha = fused_additive_attention(keys, q, w, v, mask,
+                                                  block, True)
+            return jnp.sum(ctx * ctx) + jnp.sum(alpha ** 3)
+        return loss
+
+    def loss_o(keys, q, w, v):
+        ctx, alpha = _oracle(keys, q, w, v, mask)
+        return jnp.sum(ctx * ctx) + jnp.sum(alpha ** 3)
+
+    go = jax.grad(loss_o, argnums=(0, 1, 2, 3))(keys, q, w, v)
+    for block in (4, 8):        # 4: two blocks w/ padding; 8: one, padded
+        gp = jax.grad(mk(block), argnums=(0, 1, 2, 3))(keys, q, w, v)
+        for a, b in zip(gp, go):
+            np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5)
