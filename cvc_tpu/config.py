@@ -143,6 +143,9 @@ class DataConfig:
     synthetic_class_skew: float = 0.0  # Zipf exponent for object classes
     #                                   (frequent-head/rare-tail partial-
     #                                   alignment regime; data/synthetic.py)
+    synthetic_refs_per_image: int = 1  # reference captions per image
+    #                                   (COCO/Flickr30k have 5; >1 gives
+    #                                   SCST a dense reward)
 
 
 @dataclass
@@ -279,6 +282,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic_class_skew", type=float, default=0.0,
                    help="Zipf exponent for object-class sampling (0 = "
                         "uniform; ~1 = real-data-like head/tail)")
+    p.add_argument("--synthetic_refs_per_image", type=int, default=1,
+                   help="reference captions per synthetic image (COCO-"
+                        "style multi-ref; dense SCST reward)")
     p.add_argument("--feat_dim", type=int, default=2048,
                    help="region feature dim (reference: 2048-d fc6)")
     p.add_argument("--weight_decay", type=float, default=0.0)
@@ -386,6 +392,7 @@ def _defaults_from_config(cfg: Config) -> dict:
         synthetic_easy_frac=d.synthetic_easy_frac,
         synthetic_easy_regions=d.synthetic_easy_regions,
         synthetic_class_skew=d.synthetic_class_skew,
+        synthetic_refs_per_image=d.synthetic_refs_per_image,
         feat_dim=m.feat_dim, weight_decay=t.weight_decay,
         seq_length=m.seq_length,
         num_props=m.num_regions, num_frames=m.num_frames,
@@ -459,6 +466,7 @@ def config_from_args(argv=None) -> Config:
     d.synthetic_easy_frac = args.synthetic_easy_frac
     d.synthetic_easy_regions = args.synthetic_easy_regions
     d.synthetic_class_skew = args.synthetic_class_skew
+    d.synthetic_refs_per_image = args.synthetic_refs_per_image
     d.seed = args.seed
 
     m.seq_length = args.seq_length

@@ -150,6 +150,7 @@ def load_dataset(data_cfg, model_cfg, split: str) -> CaptionDataset:
             easy_frac=getattr(data_cfg, "synthetic_easy_frac", 0.0),
             easy_regions=getattr(data_cfg, "synthetic_easy_regions", 12),
             class_skew=getattr(data_cfg, "synthetic_class_skew", 0.0),
+            refs_per_image=getattr(data_cfg, "synthetic_refs_per_image", 1),
         )
     vocab = Vocabulary.load(data_cfg.vocab_file)
     return load_hdf5_dataset(

@@ -51,7 +51,8 @@ def make_synthetic_dataset(num_images: int = 256,
                            unique_colors: bool = False,
                            easy_frac: float = 0.0,
                            easy_regions: int = 12,
-                           class_skew: float = 0.0) -> CaptionDataset:
+                           class_skew: float = 0.0,
+                           refs_per_image: int = 1) -> CaptionDataset:
     """`word_order="shuffled"` mentions objects in random order, and
     `unique_colors=True` gives each object in an image a distinct color.
     Together they reproduce the paper's precondition on real data: the
@@ -149,16 +150,29 @@ def make_synthetic_dataset(num_images: int = 256,
                 boxes[f, slot] = _jitter_box(rng, obj_boxes[k])
                 classes[f, slot] = c
 
-        # Caption: "<filler> <color> <class>" per object, class-id order.
-        words, entities = [], []
-        for k, c in enumerate(obj_cls):
-            words.append(str(rng.choice(_FILLER)))
-            words.append(_COLORS[obj_colors[k]])
-            entities.append((0, len(words), int(c), obj_boxes[k]))
-            words.append(names[c])
-        caption = " ".join(words[: seq_length])
+        # Captions: "<filler> <color> <class>" per object.  Variant 0
+        # follows obj_cls order (bit-identical to the single-ref path);
+        # extra references (COCO has 5, Flickr30k 5 — refs_per_image
+        # mirrors that density) resample the filler words and, under
+        # "shuffled", the mention order.  Entities carry their caption
+        # index so each (image, caption) training pair grades attention
+        # at its own word positions.
+        captions, entities = [], []
+        col_of = {int(c): obj_colors[k] for k, c in enumerate(obj_cls)}
+        box_of = {int(c): obj_boxes[k] for k, c in enumerate(obj_cls)}
+        for ref in range(max(1, refs_per_image)):
+            order = obj_cls if ref == 0 else (
+                rng.permutation(obj_cls) if word_order == "shuffled"
+                else obj_cls)
+            words = []
+            for c in order:
+                words.append(str(rng.choice(_FILLER)))
+                words.append(_COLORS[col_of[int(c)]])
+                entities.append((ref, len(words), int(c), box_of[int(c)]))
+                words.append(names[int(c)])
+            captions.append(" ".join(words[: seq_length]))
         entities = [e for e in entities if e[1] < seq_length]
-        all_captions.append(caption)
+        all_captions.extend(captions)
 
         gfeat = None
         if global_feat_dim:
@@ -170,7 +184,7 @@ def make_synthetic_dataset(num_images: int = 256,
         examples.append(Example(
             image_id=f"{split}_{i}",
             features=feats, boxes=boxes, classes=classes,
-            captions=[caption],
+            captions=captions,
             entities=[Entity(ci, wi, c, b) for ci, wi, c, b in entities],
             global_feat=gfeat,
         ))

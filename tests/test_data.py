@@ -125,3 +125,46 @@ def test_decode_sequence_with_pos_skips_bos_exactly():
     sents, pos = v.decode_sequence_with_pos(ids)
     assert len(sents[0].split()) == 3
     assert pos[0] == [0, 2, 3]  # BOS slot 1 skipped, indices preserved
+
+
+def test_synthetic_refs_per_image():
+    """COCO-style multi-reference captions: k caption variants per image,
+    entities carry their caption index, and the pipeline iterates
+    (image, caption) pairs like the reference DataLoader."""
+    from cvc_tpu.data.synthetic import make_synthetic_dataset
+
+    ds1 = make_synthetic_dataset(num_images=6, num_regions=12, feat_dim=32,
+                                 seq_length=16, num_classes=12, seed=3,
+                                 word_order="shuffled", unique_colors=True,
+                                 refs_per_image=1)
+    ds4 = make_synthetic_dataset(num_images=6, num_regions=12, feat_dim=32,
+                                 seq_length=16, num_classes=12, seed=3,
+                                 word_order="shuffled", unique_colors=True,
+                                 refs_per_image=4)
+    # refs=1 must be bit-identical to the historical single-ref world,
+    # so extra refs only consume rng draws AFTER each image's caption 0:
+    # image 0's caption 0 matches across k (later images legitimately
+    # diverge because refs 1..k-1 advance the stream).
+    assert ds4.get(0).captions[0] == ds1.get(0).captions[0]
+    np.testing.assert_array_equal(ds4.get(0).features, ds1.get(0).features)
+    for i in range(6):
+        e1, e4 = ds1.get(i), ds4.get(i)
+        assert len(e1.captions) == 1 and len(e4.captions) == 4
+        cis = {ent.caption_idx for ent in e4.entities}
+        assert cis == set(range(4))
+        # every variant mentions the same class set
+        sets = [set(w for w in c.split() if w.startswith("obj"))
+                for c in e4.captions]
+        assert all(s == sets[0] for s in sets)
+        # per-caption entity word positions point at the class words
+        for ent in e4.entities:
+            words = e4.captions[ent.caption_idx].split()
+            assert words[ent.word_idx].startswith("obj")
+
+    from cvc_tpu.data.pipeline import make_batches
+    cfg = tiny_model_config()
+    n1 = sum(b.valid.sum() for b in make_batches(ds1, cfg, 4, shuffle=False,
+                                                 seed=0))
+    n4 = sum(b.valid.sum() for b in make_batches(ds4, cfg, 4, shuffle=False,
+                                                 seed=0))
+    assert n4 == 4 * n1
