@@ -86,6 +86,16 @@ class ModelConfig:
     remat: bool = False               # jax.checkpoint the decode step
     #                                   (recompute activations in bwd —
     #                                   trades FLOPs for HBM at big batch)
+    stacked_grad: bool = True         # hand-written decode-scan VJP:
+    #                                   recompute the [B,S,A] attention
+    #                                   tanh in the reverse scan and emit
+    #                                   stacked [L*B] weight-gradient
+    #                                   contractions (models/decode_vjp.py).
+    #                                   Measured v5e flagship bf16: train
+    #                                   step 16.0->10.9 ms (B=64), 38.0->
+    #                                   34.1 ms (B=256, MFU 0.353->0.394);
+    #                                   ignored under remat or a Pallas
+    #                                   train scan (docs/PERF.md)
     fuse_cycle_scans: bool = True     # merge the decode + reconstruct scans
     #                                   into ONE scan at 2x batch when the
     #                                   localizer queries are GT words
@@ -317,6 +327,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="teacher-forced-scan unroll; 0 = inherit "
                         "scan_unroll (full unroll = seq_length+1 is the "
                         "measured best for the grad step)")
+    p.add_argument("--stacked_grad", type=int, default=1,
+                   help="hand-written decode-scan VJP: recomputed "
+                        "attention tanh + stacked [L*B] weight-grad "
+                        "contractions (measured -32% train step at "
+                        "B=64; 0 = XLA autodiff A/B path)")
     p.add_argument("--attn_supervision_weight", type=float, default=0.0,
                    help=">0 trains grounding with box supervision (the "
                         "GVD-supervised baseline; the cyclical method "
@@ -405,6 +420,7 @@ def _defaults_from_config(cfg: Config) -> dict:
         use_pallas=-1 if m.use_pallas is None else int(m.use_pallas),
         scan_unroll=m.scan_unroll,
         train_scan_unroll=m.train_scan_unroll,
+        stacked_grad=int(m.stacked_grad),
         attn_supervision_weight=m.attn_supervision_weight,
         dtype=m.dtype,
         learning_rate=t.learning_rate,
@@ -485,6 +501,7 @@ def config_from_args(argv=None) -> Config:
     m.use_pallas = None if args.use_pallas < 0 else bool(args.use_pallas)
     m.scan_unroll = args.scan_unroll
     m.train_scan_unroll = args.train_scan_unroll
+    m.stacked_grad = bool(args.stacked_grad)
     m.dtype = args.dtype
     if args.global_feat_dim >= 0:
         m.global_feat_dim = args.global_feat_dim

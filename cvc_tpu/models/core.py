@@ -295,10 +295,35 @@ def decode(params, cfg, v_enc, keys, v_global, emb_seq, region_mask,
         ctx_seq = context_override.astype(dtype)
 
     from cvc_tpu.ops.dispatch import use_pallas_train_scan
+    pallas_scan = use_pallas_train_scan(cfg)
+    if (getattr(cfg, "stacked_grad", False) and not pallas_scan
+            and not getattr(cfg, "remat", False)):
+        # hand-written scan VJP: recomputed attention tanh + stacked
+        # [L*B]-row weight-gradient contractions (docs/PERF.md §2)
+        from cvc_tpu.models.decode_vjp import scan_decode_stacked
+        H = cfg.rnn_size
+        al, att, ll = (params["att_lstm"], params["attention"],
+                       params["lang_lstm"])
+        w_hl, _, _ = _split_wx_att(al["wx"].astype(dtype),
+                                   cfg.input_encoding_size, H)
+        wx2 = ll["wx"].astype(dtype)
+        weights = {
+            "w_hl": w_hl, "w_ah": al["wh"].astype(dtype),
+            "w_qh": att["wh"].astype(dtype),
+            "b_q": att["b"].astype(dtype), "w_v": att["w"].astype(dtype),
+            "w_cx": wx2[:H], "w_ax": wx2[H:],
+            "w_lh": ll["wh"].astype(dtype), "b_l": ll["b"].astype(dtype),
+        }
+        h_seq, alphas, carry = scan_decode_stacked(
+            (use_attention, _train_scan_unroll(cfg)), weights,
+            jnp.swapaxes(pre1, 0, 1), jnp.swapaxes(ctx_seq, 0, 1),
+            v_enc, keys, region_mask, context_mix, init_carry)
+        return (jnp.swapaxes(h_seq, 0, 1), jnp.swapaxes(alphas, 0, 1),
+                carry)
     step = partial(decoder_step, params, cfg, v_enc=v_enc, keys=keys,
                    region_mask=region_mask, use_attention=use_attention,
                    context_mix=context_mix,
-                   pallas=use_pallas_train_scan(cfg))
+                   pallas=pallas_scan)
 
     def body(carry, xs):
         return step(carry, {"pre1": xs[0], "ctx": xs[1]})
