@@ -20,8 +20,9 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def world_flags(seed, images, epochs, val_every):
+def world_flags(seed, images, epochs, val_every, refs_per_image=1):
     return [
+        "--synthetic_refs_per_image", str(refs_per_image),
         "--dataset", "synthetic", "--synthetic_word_order", "shuffled",
         "--synthetic_unique_colors", "1",
         "--synthetic_num_images", str(images),
@@ -84,6 +85,13 @@ def main():
                     help="reuse /tmp/scst_base_s<seed> checkpoints")
     ap.add_argument("--suffix", default="",
                     help="suffix for branch run names / result keys")
+    ap.add_argument("--refs_per_image", type=int, default=1,
+                    help="COCO-style reference captions per image (5 = "
+                         "reference-like density; densifies the CIDEr-D "
+                         "reward — the r3 diagnosis found single-ref "
+                         "reward too spiky for pure REINFORCE)")
+    ap.add_argument("--arms", default="xecont,scst",
+                    help="comma list of branch arms: xecont, scst")
     a = ap.parse_args()
 
     out_path = os.path.join(REPO, "experiments", "scst_results.json")
@@ -92,9 +100,12 @@ def main():
         results["runs"] = json.load(open(out_path)).get("runs", {})
     for seed in [int(s) for s in a.seeds.split(",")]:
         base = f"scst_base_s{seed}"
+        if a.refs_per_image != 1:
+            base = f"scst_base_mref{a.refs_per_image}_s{seed}"
         if not a.skip_base:
             base_traj = run(base, [
-                *world_flags(seed, a.images, a.xe_epochs, 4),
+                *world_flags(seed, a.images, a.xe_epochs, 4,
+                             a.refs_per_image),
                 "--device_resident", "1",
                 "--save_checkpoint_every", str(a.xe_epochs)])
             results["runs"][base] = {"trajectory": base_traj}
@@ -102,7 +113,8 @@ def main():
             base_traj = results["runs"].get(base, {}).get("trajectory", [])
 
         cont = [  # both branches resume the SAME XE checkpoint
-            *world_flags(seed, a.images, a.total_epochs, 2),
+            *world_flags(seed, a.images, a.total_epochs, 2,
+                         a.refs_per_image),
             "--device_resident", "0",
             "--start_from", f"/tmp/{base}",
             "--save_checkpoint_every", str(a.total_epochs)]
@@ -111,12 +123,18 @@ def main():
                      "--learning_rate_decay_start", str(10 ** 6),
                      "--losses_log_every", "200"]
         sfx = a.suffix
-        xe_traj = run(f"scst_xecont{sfx}_s{seed}", cont)
-        scst_traj = run(f"scst_scst{sfx}_s{seed}", [
-            *cont, "--self_critical_after", str(a.xe_epochs),
-            "--scst_xe_weight", a.scst_xe_weight])
-        results["runs"][f"xecont{sfx}_s{seed}"] = {"trajectory": xe_traj}
-        results["runs"][f"scst{sfx}_s{seed}"] = {"trajectory": scst_traj}
+        arms = a.arms.split(",")
+        xe_traj = scst_traj = []
+        if "xecont" in arms:
+            xe_traj = run(f"scst_xecont{sfx}_s{seed}", cont)
+            results["runs"][f"xecont{sfx}_s{seed}"] = {
+                "trajectory": xe_traj}
+        if "scst" in arms:
+            scst_traj = run(f"scst_scst{sfx}_s{seed}", [
+                *cont, "--self_critical_after", str(a.xe_epochs),
+                "--scst_xe_weight", a.scst_xe_weight])
+            results["runs"][f"scst{sfx}_s{seed}"] = {
+                "trajectory": scst_traj}
         results["runs"][f"summary{sfx}_s{seed}"] = {
             "xe_plateau_cider": base_traj[-1]["CIDEr"] if base_traj
             else None,
