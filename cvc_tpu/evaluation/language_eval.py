@@ -51,8 +51,10 @@ def language_eval(predictions: list[dict],
         finally:
             jar.close()
     else:
-        out["METEOR"], _ = corpus_meteor(candidates, refs_tok)
-        out["METEOR_source"] = "python-port(exact+stem)"
+        from cvc_tpu.evaluation.meteor_synonyms import load_synonyms
+        out["METEOR"], _ = corpus_meteor(candidates, refs_tok,
+                                         synonyms=load_synonyms())
+        out["METEOR_source"] = "python-port(exact+stem+synonym)"
     from cvc_tpu.evaluation import spice_jar
     if spice_jar.jar_available():
         # same tokenized inputs as the other scorers (pycocoevalcap order)

@@ -207,3 +207,31 @@ def test_meteor_port_synonym_stage():
                              paraphrases=para)
     assert (1, 1) in pairs2
     assert weights2[(1, 1)] == pytest.approx(0.6)
+
+
+def test_builtin_synonym_table_fires_and_extends():
+    """The curated built-in table makes the synonym stage fire by default
+    (language_eval passes it to corpus_meteor), and an exchange file
+    extends it (the WordNet-export hook)."""
+    import os
+    import tempfile
+
+    from cvc_tpu.evaluation.meteor import meteor_score
+    from cvc_tpu.evaluation.meteor_synonyms import load_synonyms
+
+    syn = load_synonyms()
+    assert "couch" in syn["sofa"] and "sofa" in syn["couch"]  # symmetric
+    s_with = meteor_score("a large dog", ["a big dog"], synonyms=syn)
+    s_without = meteor_score("a large dog", ["a big dog"])
+    assert s_with > s_without
+
+    with tempfile.NamedTemporaryFile("w", suffix=".txt",
+                                     delete=False) as f:
+        f.write("# comment line\nzorp blick\n")
+        path = f.name
+    try:
+        ext = load_synonyms(path)
+        assert "blick" in ext["zorp"]
+        assert "couch" in ext["sofa"]  # built-ins retained
+    finally:
+        os.unlink(path)
