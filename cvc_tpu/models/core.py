@@ -142,7 +142,8 @@ def encode_regions(params, cfg, feats, box_geom, region_cls, region_mask,
     v_enc = jax.nn.relu(x) * region_mask[..., None].astype(dtype)
 
     if cfg.obj_interact and "obj_interact" in params:
-        v_enc = region_self_attention(params["obj_interact"], v_enc, region_mask)
+        v_enc = region_self_attention(params["obj_interact"], v_enc,
+                                      region_mask, cfg.obj_interact_heads)
 
     keys = v_enc @ params["attention"]["wv"].astype(dtype)
 

@@ -34,7 +34,9 @@ def init_transformer_params(rng, num_layers: int, dim: int, num_heads: int,
             "ln2_scale": jnp.ones((dim,)), "ln2_bias": jnp.zeros((dim,)),
         }
 
-    return {"layers": [layer(k) for k in keys], "num_heads": num_heads}
+    # num_heads is static config, NOT a param: an int leaf in the pytree
+    # becomes an int32 array under jit and jax.grad refuses the tree
+    return {"layers": [layer(k) for k in keys]}
 
 
 def _ln(x, scale, bias, eps=1e-6):
@@ -44,10 +46,11 @@ def _ln(x, scale, bias, eps=1e-6):
     return ((x32 - mu) * jax.lax.rsqrt(var + eps) * scale + bias).astype(x.dtype)
 
 
-def region_self_attention(params, x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+def region_self_attention(params, x: jnp.ndarray, mask: jnp.ndarray,
+                          num_heads: int = 4) -> jnp.ndarray:
     """x [B, S, H], mask [B, S] -> [B, S, H]; padded slots neither attend
-    nor are attended to."""
-    nh = params["num_heads"]
+    nor are attended to.  num_heads is static (cfg.obj_interact_heads)."""
+    nh = num_heads
     B, S, H = x.shape
     hd = H // nh
     for lp in params["layers"]:

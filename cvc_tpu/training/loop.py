@@ -107,11 +107,13 @@ def train(cfg: Config, max_epochs: int | None = None,
     # Device-resident feeding (HBM-sized datasets; also the workaround for
     # this sandbox's per-upload host leak).  Composes with the mesh: each
     # device holds its own HBM shard and gathers locally under shard_map
-    # (ShardedDeviceDataset).  Streaming remains the path for
-    # SCST/scheduled-sampling runs.
+    # (ShardedDeviceDataset).  SCST composes on a single device (sampler
+    # and update gather from HBM; only tokens/rewards visit the host);
+    # streaming remains the path for scheduled sampling and for SCST
+    # over a mesh.
     resident = (cfg.data.device_resident
                 and t_cfg.scheduled_sampling_start < 0
-                and t_cfg.self_critical_after < 0)
+                and (t_cfg.self_critical_after < 0 or mesh is None))
     dd = resident_steps = None
     if resident:
         from cvc_tpu.data.device_data import (DeviceDataset,
@@ -163,28 +165,42 @@ def train(cfg: Config, max_epochs: int | None = None,
             # The XE blend follows the same --cycle_after staging as the
             # XE loop; rebuilt if the stage flips mid-SCST (rare).
             from cvc_tpu.training.scst import (ScstRewarder,
+                                               make_resident_scst_sampler,
                                                make_scst_sampler,
                                                make_scst_step,
-                                               scst_train_batch)
+                                               scst_train_batch,
+                                               scst_train_batch_resident)
             train_refs = {train_ds.get(i).image_id: train_ds.get(i).captions
                           for i in range(len(train_ds))}
             rewarder = scst["rewarder"] if scst else ScstRewarder(train_refs)
             scst = {
-                "sampler": make_scst_sampler(m_cfg, m_cfg.seq_length),
+                "sampler": (make_resident_scst_sampler(m_cfg,
+                                                       m_cfg.seq_length)
+                            if resident
+                            else make_scst_sampler(m_cfg,
+                                                   m_cfg.seq_length)),
                 "step": make_scst_step(m_cfg, t_cfg, optimizer,
                                        xe_weight=t_cfg.scst_xe_weight,
                                        enable_cycle=cycle_on, mesh=mesh,
-                                       state=state, example_arrays=example),
+                                       state=state, example_arrays=example,
+                                       resident=resident),
                 "rewarder": rewarder,
-                "run": scst_train_batch,
+                "run": (scst_train_batch_resident if resident
+                        else scst_train_batch),
                 "cycle_on": cycle_on,
             }
         if resident:
             r_step = get_resident_step(stage)
             for idx in dd.epoch_batches(cfg.data.batch_size,
                                         seed=cfg.data.seed + epoch):
-                state, metrics = r_step(state, dd.data, jnp.asarray(idx),
-                                        rng)
+                if use_scst:
+                    rng, sub = jax.random.split(rng)
+                    state, metrics = scst["run"](
+                        state, dd, idx, train_ds, scst["sampler"],
+                        scst["step"], scst["rewarder"], sub)
+                else:
+                    state, metrics = r_step(state, dd.data,
+                                            jnp.asarray(idx), rng)
                 py_step += 1
                 n_tokens += dd.batch_tokens(idx)
                 if py_step % t_cfg.losses_log_every == 0:

@@ -44,6 +44,23 @@ def make_scst_sampler(model_cfg, max_len: int, temperature: float = 1.0):
     return jax.jit(fn)
 
 
+def make_resident_scst_sampler(model_cfg, max_len: int,
+                               temperature: float = 1.0):
+    """Jitted: (params, data, idx, rng) -> dict(sample_tokens,
+    greedy_tokens), gathering the batch from the HBM-resident dataset
+    inside the jit (the resident twin of `make_scst_sampler`)."""
+    from cvc_tpu.data.device_data import gather_batch
+
+    def fn(params, data, idx, rng):
+        arrays = gather_batch(data, idx)
+        s = greedy_decode(params, model_cfg, arrays, max_len,
+                          temperature=temperature, rng=rng, sample=True)
+        g = greedy_decode(params, model_cfg, arrays, max_len, sample=False)
+        return {"sample_tokens": s["tokens"], "greedy_tokens": g["tokens"]}
+
+    return jax.jit(fn)
+
+
 def sample_mask(tokens: jnp.ndarray) -> jnp.ndarray:
     """Supervision mask over a generated buffer: words + the first EOS."""
     is_eos = tokens == EOS_ID
@@ -53,7 +70,7 @@ def sample_mask(tokens: jnp.ndarray) -> jnp.ndarray:
 
 def make_scst_step(model_cfg, train_cfg, optimizer, xe_weight: float = 0.0,
                    enable_cycle: bool | None = None, mesh=None, state=None,
-                   example_arrays=None):
+                   example_arrays=None, resident: bool = False):
     """Jitted: (state, arrays, sample_tokens, advantage, rng) -> (state,
     metrics).  Recomputes the sampled tokens' logprobs teacher-forced (no
     gradient flows through the sampling itself — the REINFORCE estimator).
@@ -62,9 +79,16 @@ def make_scst_step(model_cfg, train_cfg, optimizer, xe_weight: float = 0.0,
     does (--cycle_after); defaults to train_cfg.enable_cycle.  With
     `mesh`, shardings are pinned exactly like make_train_step (batch over
     'data', params/moments per param_shardings) so SCST scales over the
-    same SPMD mesh as XE training."""
+    same SPMD mesh as XE training.
+
+    `resident=True` (single-device): the signature becomes (state, data,
+    idx, sample_tokens, advantage, rng) where `data` is a
+    DeviceDataset.data dict — the batch is gathered from HBM inside the
+    jit, so features never re-cross host->device during SCST epochs."""
     if enable_cycle is None:
         enable_cycle = train_cfg.enable_cycle
+    assert not (resident and mesh is not None), \
+        "resident SCST is single-device; SCST over a mesh streams batches"
 
     def step(state: TrainState, arrays, sample_tokens, advantage, rng):
         B, L = sample_tokens.shape
@@ -112,6 +136,14 @@ def make_scst_step(model_cfg, train_cfg, optimizer, xe_weight: float = 0.0,
                            step=state.step + 1), metrics)
 
     donate = (0,) if train_cfg.donate_state else ()
+    if resident:
+        from cvc_tpu.data.device_data import gather_batch
+
+        def resident_step(state, data, idx, sample_tokens, advantage, rng):
+            return step(state, gather_batch(data, idx), sample_tokens,
+                        advantage, rng)
+
+        return jax.jit(resident_step, donate_argnums=donate)
     if mesh is None:
         return jax.jit(step, donate_argnums=donate)
     assert state is not None and example_arrays is not None
@@ -131,22 +163,59 @@ class ScstRewarder:
     reference precomputes train-corpus df for its SCST reward)."""
 
     def __init__(self, train_references: dict[str, list[str]]):
-        ref_sets = [[" ".join(ptb_tokenize(r)) for r in refs]
-                    for refs in train_references.values()]
+        # tokenize every training reference ONCE — rewards() runs per
+        # batch in the SCST hot loop, and re-tokenizing 5 refs x B images
+        # per step dominated the host-side reward cost
+        self._ref_cache = {
+            img: [" ".join(ptb_tokenize(r)) for r in refs]
+            for img, refs in train_references.items()}
         # native C++ scorer when available (this is a per-batch hot path)
-        self.scorer = CiderDFast(corpus_refs=ref_sets)
+        self.scorer = CiderDFast(corpus_refs=list(self._ref_cache.values()))
+
+    def _refs_tok(self, image_id: str, raw: list[str]) -> list[str]:
+        got = self._ref_cache.get(image_id)
+        if got is None:     # off-corpus image (val probes): cache it too
+            got = [" ".join(ptb_tokenize(r)) for r in raw]
+            self._ref_cache[image_id] = got
+        return got
 
     def rewards(self, vocab, tokens: np.ndarray, image_ids: list[str],
                 references: dict[str, list[str]]) -> np.ndarray:
         sents = vocab.decode_sequence(tokens)
         cands = {f"c{i}": s for i, s in enumerate(sents)}
-        refs = {f"c{i}": [" ".join(ptb_tokenize(r))
-                          for r in references[image_ids[i]]]
+        refs = {f"c{i}": self._refs_tok(image_ids[i],
+                                        references[image_ids[i]])
                 for i in range(len(sents))}
         cands = {k: " ".join(ptb_tokenize(v)) for k, v in cands.items()}
         _, per = self.scorer.compute_score(cands, refs)
         return np.asarray([per[f"c{i}"] for i in range(len(sents))],
                           np.float32)
+
+
+def scst_train_batch_resident(state, dd, idx, ds, sampler, step_fn,
+                              rewarder, rng):
+    """One SCST iteration over the device-resident dataset: the only
+    per-step host->device uploads are the [B] pair-index vector, the
+    sampled tokens (which must visit the host for the CIDEr-D reward
+    anyway), and the [B] advantage."""
+    rng_sample, rng_step = jax.random.split(rng)
+    idx_dev = jnp.asarray(idx)
+    out = sampler(state.params, dd.data, idx_dev, rng_sample)
+    sample_tokens = np.asarray(out["sample_tokens"])
+    greedy_tokens = np.asarray(out["greedy_tokens"])
+    ex_ids = [dd.pairs[int(i)][0] for i in idx]
+    image_ids = [ds.get(e).image_id for e in ex_ids]
+    references = {ds.get(e).image_id: ds.get(e).captions for e in ex_ids}
+    r_s = rewarder.rewards(ds.vocab, sample_tokens, image_ids, references)
+    r_g = rewarder.rewards(ds.vocab, greedy_tokens, image_ids, references)
+    advantage = jnp.asarray(r_s - r_g)
+    state, metrics = step_fn(state, dd.data, idx_dev,
+                             jnp.asarray(sample_tokens), advantage,
+                             rng_step)
+    metrics = dict(metrics)
+    metrics["reward_sample"] = float(r_s.mean())
+    metrics["reward_greedy"] = float(r_g.mean())
+    return state, metrics
 
 
 def scst_train_batch(state, arrays, batch, ds, sampler, step_fn, rewarder,

@@ -92,6 +92,8 @@ def main():
                          "reward too spiky for pure REINFORCE)")
     ap.add_argument("--arms", default="xecont,scst",
                     help="comma list of branch arms: xecont, scst")
+    ap.add_argument("--branch_val_every", type=int, default=2,
+                    help="val cadence (epochs) for the branch runs")
     a = ap.parse_args()
 
     out_path = os.path.join(REPO, "experiments", "scst_results.json")
@@ -113,9 +115,10 @@ def main():
             base_traj = results["runs"].get(base, {}).get("trajectory", [])
 
         cont = [  # both branches resume the SAME XE checkpoint
-            *world_flags(seed, a.images, a.total_epochs, 2,
-                         a.refs_per_image),
-            "--device_resident", "0",
+            *world_flags(seed, a.images, a.total_epochs,
+                         a.branch_val_every, a.refs_per_image),
+            "--device_resident", "1",   # SCST composes with the
+            #   HBM-resident dataset on a single device (scst.py)
             "--start_from", f"/tmp/{base}",
             "--save_checkpoint_every", str(a.total_epochs)]
         if a.branch_lr is not None:

@@ -133,3 +133,52 @@ def test_scst_step_on_mesh_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(s1.params["logit"]["b"]), np.asarray(sN.params["logit"]["b"]),
         rtol=1e-3, atol=1e-6)
+
+
+def test_resident_scst_matches_streaming():
+    """Device-resident SCST (gather-inside-jit sampler + step) must match
+    the streaming path given the same pairs and rngs: identical
+    sampled/greedy tokens, rewards, and updated params."""
+    from cvc_tpu.data.device_data import DeviceDataset, gather_batch
+    from cvc_tpu.training.scst import (make_resident_scst_sampler,
+                                       scst_train_batch_resident)
+
+    cfg = tiny_model_config()
+    ds = make_synthetic_dataset(num_images=8, num_regions=cfg.num_regions,
+                                feat_dim=cfg.feat_dim,
+                                seq_length=cfg.seq_length,
+                                num_classes=cfg.num_classes, seed=5)
+    dd = DeviceDataset(ds, cfg)
+    tc = TrainConfig(learning_rate=1e-3, grad_clip=1.0, donate_state=False,
+                     enable_cycle=False)
+    opt = make_optimizer(tc, steps_per_epoch=10)
+    params = core.init_params(jax.random.PRNGKey(0), cfg)
+    refs = {ds.get(i).image_id: ds.get(i).captions for i in range(len(ds))}
+    rewarder = ScstRewarder(refs)
+    idx = np.asarray([0, 3, 5, 6], np.int32)
+    rng = jax.random.PRNGKey(7)
+
+    # resident path
+    state_r = TrainState.create(params, opt)
+    r_sampler = make_resident_scst_sampler(cfg, cfg.seq_length)
+    r_step = make_scst_step(cfg, tc, opt, resident=True)
+    state_r, m_r = scst_train_batch_resident(
+        state_r, dd, idx, ds, r_sampler, r_step, rewarder, rng)
+
+    # streaming path over the SAME gathered arrays / example ids
+    class _B:
+        example_idx = np.asarray([dd.pairs[int(i)][0] for i in idx])
+        valid = np.ones(len(idx), np.float32)
+    arrays = jax.jit(gather_batch)(dd.data, jnp.asarray(idx))
+    state_s = TrainState.create(params, opt)
+    s_sampler = make_scst_sampler(cfg, cfg.seq_length)
+    s_step = make_scst_step(cfg, tc, opt)
+    state_s, m_s = scst_train_batch(
+        state_s, arrays, _B(), ds, s_sampler, s_step, rewarder, rng)
+
+    assert m_r["reward_sample"] == m_s["reward_sample"]
+    assert m_r["reward_greedy"] == m_s["reward_greedy"]
+    for a, b in zip(jax.tree_util.tree_leaves(state_r.params),
+                    jax.tree_util.tree_leaves(state_s.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
