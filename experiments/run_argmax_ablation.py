@@ -116,6 +116,9 @@ def main():
                          "attention, the Pallas gate's XLA fallback)")
     ap.add_argument("--out", default=None,
                     help="results JSON (default experiments/<tag>.json)")
+    ap.add_argument("--extra", default="",
+                    help="extra train.py flags appended to every arm, "
+                         "space-separated (e.g. '--cycle_weight 0.25')")
     a = ap.parse_args()
 
     out_path = a.out or os.path.join(REPO, "experiments",
@@ -128,6 +131,7 @@ def main():
             log = f"/tmp/{name}.log"
             cmd = [sys.executable, "train.py",
                    *common_flags(a, seed), *ARM_FLAGS[arm],
+                   *(a.extra.split() if a.extra else []),
                    "--checkpoint_path", ckpt, "--id", name]
             ok = run(cmd, log)
             rec = {"ok": ok, "log": log,
