@@ -68,6 +68,13 @@ class ModelConfig:
     # (resolved by cvc_tpu.ops.dispatch.use_pallas).
     use_pallas: bool | None = None
     dtype: str = "float32"            # compute dtype: "float32" | "bfloat16"
+    beam_select_bf16: bool = False    # serving knob (bf16 models only):
+    #                                   beam-select on bf16 logits — halves
+    #                                   the per-step [B*K,V] HBM traffic
+    #                                   through top-k/logsumexp; near-tie
+    #                                   candidates may resolve differently
+    #                                   than f32 select (measured A/B:
+    #                                   experiments/beam_select_bf16.json)
     scan_unroll: int = 1              # lax.scan unroll for the decode/recon
     #                                   scans. >1 amortizes loop overhead and
     #                                   lets XLA fuse across steps: measured
@@ -194,6 +201,11 @@ class TrainConfig:
     scst_xe_weight: float = 0.0               # blend XE into the PG loss
     checkpoint_path: str = "save"     # reference: --checkpoint_path
     start_from: Optional[str] = None  # reference: --start_from (resume dir)
+    import_torch: Optional[str] = None  # reference-lineage torch .pth (or a
+    #                                   converted .npz from
+    #                                   tools/import_torch_checkpoint.py):
+    #                                   initialize params from it instead of
+    #                                   random init (fresh optimizer state)
     auto_resume: bool = True          # resume from checkpoint_path if a
     #                                   checkpoint exists (crash recovery;
     #                                   reference required manual --start_from)
@@ -356,6 +368,9 @@ def build_parser() -> argparse.ArgumentParser:
     # Checkpointing / eval cadence.
     p.add_argument("--checkpoint_path", type=str, default="save")
     p.add_argument("--start_from", type=str, default=None)
+    p.add_argument("--import_torch", type=str, default=None,
+                   help="reference torch .pth (or converted .npz) to "
+                        "initialize params from")
     p.add_argument("--save_checkpoint_every", type=int, default=1)
     p.add_argument("--val_every_epoch", type=int, default=1)
     p.add_argument("--language_eval", type=int, default=1)
@@ -527,6 +542,7 @@ def config_from_args(argv=None) -> Config:
     t.cycle_gt_until = args.cycle_gt_until
     t.checkpoint_path = args.checkpoint_path
     t.start_from = args.start_from
+    t.import_torch = args.import_torch
     t.save_checkpoint_every = args.save_checkpoint_every
     t.val_every_epoch = args.val_every_epoch
     t.language_eval = bool(args.language_eval)

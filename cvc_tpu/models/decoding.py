@@ -114,7 +114,17 @@ def _beam_step(params, cfg, carry, prev_word, v_enc, keys, region_mask,
               + h_lang @ ll["wh"].astype(dtype)
               + ll["b"].astype(dtype))
     h_lang, c_lang = core.lstm_cell(gates2, c_lang)
-    logits = core.logits(params, h_lang)                  # [B*K, V] f32
+    if getattr(cfg, "beam_select_bf16", False) and dtype == jnp.bfloat16:
+        # serving knob: emit bf16 logits (the convert fuses into the head
+        # matmul's epilogue) so the [B*K, V] tensor costs half the HBM
+        # through top-k + logsumexp; candidate values are rounded to
+        # bf16 before selection (near-ties may resolve differently)
+        lg = params["logit"]
+        logits = (jnp.dot(h_lang, lg["w"].astype(dtype),
+                          preferred_element_type=jnp.bfloat16)
+                  + lg["b"].astype(jnp.bfloat16))
+    else:
+        logits = core.logits(params, h_lang)              # [B*K, V] f32
     return (h_att, c_att, h_lang, c_lang), logits, alpha
 
 
@@ -214,8 +224,8 @@ def beam_search(params, cfg, arrays, beam_size: int, max_len: int,
         # comes back as one fused logsumexp reduction over the same
         # logits, applied to the K survivors only.
         v1, idx1 = jax.lax.top_k(logits, K)                      # [B*K, K]
-        lse = jax.nn.logsumexp(logits, axis=-1)                  # [B*K]
-        lp1 = (v1 - lse[:, None]).reshape(B, K, K)
+        lse = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1)
+        lp1 = (v1.astype(jnp.float32) - lse[:, None]).reshape(B, K, K)
         idx1 = idx1.reshape(B, K, K).astype(jnp.int32)
 
         # Finished beams: only PAD, at zero cost (score freezes) — applied

@@ -63,6 +63,27 @@ class Captioner:
                                batch_size, length_penalty)
 
     @staticmethod
+    def from_torch(ckpt_path: str, config_json: str, vocab_file: str,
+                   beam_size: int = 5, batch_size: int = 64,
+                   length_penalty: float = 0.0) -> "Captioner":
+        """Serve a reference-lineage torch checkpoint (.pth) or a
+        converted .npz directly on TPU — no retraining, no orbax dir.
+
+            cap = Captioner.from_torch("model-best.pth",
+                                       "configs/c1.json", "vocab.json")
+
+        Weight mapping + parity evidence: cvc_tpu/models/torch_import.py,
+        tests/test_torch_import.py."""
+        from cvc_tpu.models.torch_import import import_params
+        with open(config_json) as f:
+            cfg = Config.from_json(f.read())
+        vocab = Vocabulary.load(vocab_file)
+        cfg.model.vocab_size = vocab.padded_size(128)
+        params, _ = import_params(ckpt_path, cfg.model)
+        return Captioner.build(params, cfg.model, vocab, beam_size,
+                               batch_size, length_penalty)
+
+    @staticmethod
     def build(params, model_cfg, vocab, beam_size: int = 5,
               batch_size: int = 64, length_penalty: float = 0.0) -> "Captioner":
         e_cfg = EvalConfig(beam_size=beam_size,

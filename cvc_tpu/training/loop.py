@@ -52,6 +52,13 @@ def train(cfg: Config, max_epochs: int | None = None,
     steps_per_epoch = max(num_batches(train_ds, cfg.data.batch_size), 1)
     optimizer = make_optimizer(t_cfg, steps_per_epoch)
     params = core.init_params(jax.random.PRNGKey(t_cfg.seed), m_cfg)
+    if getattr(t_cfg, "import_torch", None):
+        # warm-start from a reference-lineage torch checkpoint (or a
+        # pre-converted .npz); fresh optimizer state
+        from cvc_tpu.models.torch_import import import_params
+        params, report = import_params(t_cfg.import_torch, m_cfg)
+        print(f"imported params from {t_cfg.import_torch} "
+              f"({len(report.get('mapped', []))} keys)", flush=True)
     state = TrainState.create(params, optimizer)
 
     ckpt = CheckpointManager(t_cfg.checkpoint_path)

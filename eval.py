@@ -36,31 +36,42 @@ from cvc_tpu.training.train_state import TrainState
 
 def main(argv=None):
     cfg = config_from_args(argv)
-    if not cfg.train.start_from:
-        raise SystemExit("--start_from <checkpoint dir> is required")
+    if not (cfg.train.start_from or cfg.train.import_torch):
+        raise SystemExit("--start_from <checkpoint dir> or "
+                         "--import_torch <.pth/.npz> is required")
     # Prefer the training-time config for model shapes; CLI eval flags win.
     ckpt_dir = cfg.train.start_from
-    if os.path.exists(os.path.join(ckpt_dir, "config.json")):
+    if ckpt_dir and os.path.exists(os.path.join(ckpt_dir, "config.json")):
         saved = load_config(ckpt_dir)
         saved.eval = cfg.eval
         saved.data.batch_size = cfg.data.batch_size
+        saved.train.import_torch = cfg.train.import_torch
         cfg = saved
 
     ds = load_dataset(cfg.data, cfg.model, cfg.eval.split)
     _finalize_model_config(cfg, ds)
 
-    params = core.init_params(jax.random.PRNGKey(0), cfg.model)
-    optimizer = make_optimizer(cfg.train, steps_per_epoch=1)
-    state = TrainState.create(params, optimizer)
-    mgr = CheckpointManager(ckpt_dir)
-    step = mgr.best_step() or mgr.latest_step()
-    state, infos = mgr.restore(state, step=step)
-    print(f"evaluating checkpoint step {step} (best_cider="
-          f"{infos.get('best_cider')}) on split={cfg.eval.split}", flush=True)
+    if cfg.train.import_torch and not ckpt_dir:
+        # evaluate a reference-lineage torch checkpoint directly on TPU
+        from cvc_tpu.models.torch_import import import_params
+        eval_params, report = import_params(cfg.train.import_torch, cfg.model)
+        print(f"imported params from {cfg.train.import_torch} "
+              f"({len(report.get('mapped', []))} keys)", flush=True)
+    else:
+        params = core.init_params(jax.random.PRNGKey(0), cfg.model)
+        optimizer = make_optimizer(cfg.train, steps_per_epoch=1)
+        state = TrainState.create(params, optimizer)
+        mgr = CheckpointManager(ckpt_dir)
+        step = mgr.best_step() or mgr.latest_step()
+        state, infos = mgr.restore(state, step=step)
+        print(f"evaluating checkpoint step {step} (best_cider="
+              f"{infos.get('best_cider')}) on split={cfg.eval.split}",
+              flush=True)
+        eval_params = state.params
 
     out_path = os.path.join(cfg.eval.out_dir,
                             f"{cfg.id}_{cfg.eval.split}_preds.json")
-    results = evaluate_split(state.params, cfg.model, cfg.eval, ds,
+    results = evaluate_split(eval_params, cfg.model, cfg.eval, ds,
                              cfg.data.batch_size, out_path=out_path)
     print(json.dumps(results, indent=2, default=float))
     return results

@@ -164,3 +164,48 @@ def test_beam_all_beams_sorted_scores(setup):
     best = np.asarray(out["scores"])
     assert np.allclose(best, sc.max(1))
 
+
+
+def test_beam_select_bf16_semantics():
+    """The bf16-select serving knob: inert on f32 models; on a bf16 model
+    it returns valid sequences whose f32-rescored beam score is close to
+    the f32-select arm's (selection sees bf16-rounded candidates, so
+    token-level identity is not guaranteed — score closeness is)."""
+    import dataclasses
+    cfg = tiny_model_config(vocab_size=32, rnn_size=16, att_hid_size=12,
+                            input_encoding_size=8, feat_dim=16,
+                            num_regions=6, seq_length=5, dtype="bfloat16")
+    params = core.init_params(jax.random.PRNGKey(3), cfg)
+    arrays = {k: jnp.asarray(v) for k, v in random_batch(cfg, 4, 5).items()}
+
+    base = beam_search(params, cfg, arrays, beam_size=4,
+                       max_len=cfg.seq_length)
+    cfg_b = dataclasses.replace(cfg, beam_select_bf16=True)
+    fast = beam_search(params, cfg_b, arrays, beam_size=4,
+                       max_len=cfg.seq_length)
+
+    # same output contract
+    assert fast["tokens"].shape == base["tokens"].shape
+    toks = np.asarray(fast["tokens"])
+    # PAD-after-EOS semantics hold
+    for row in toks:
+        seen_eos = False
+        for t in row:
+            if seen_eos:
+                assert t == PAD_ID
+            seen_eos = seen_eos or t == EOS_ID
+    # scores agree to bf16 rounding of per-step logits
+    np.testing.assert_allclose(np.asarray(fast["scores"]),
+                               np.asarray(base["scores"]),
+                               rtol=0.05, atol=0.15)
+
+    # inert on f32 models: flag on but dtype float32 -> identical tokens
+    cfg32 = tiny_model_config(vocab_size=32, rnn_size=16, att_hid_size=12,
+                              input_encoding_size=8, feat_dim=16,
+                              num_regions=6, seq_length=5)
+    p32 = core.init_params(jax.random.PRNGKey(3), cfg32)
+    a = beam_search(p32, cfg32, arrays, beam_size=4, max_len=cfg32.seq_length)
+    b = beam_search(p32, dataclasses.replace(cfg32, beam_select_bf16=True),
+                    arrays, beam_size=4, max_len=cfg32.seq_length)
+    np.testing.assert_array_equal(np.asarray(a["tokens"]),
+                                  np.asarray(b["tokens"]))

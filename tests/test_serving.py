@@ -55,3 +55,37 @@ def test_captioner_from_checkpoint(tmp_path):
                         "boxes": ds.get(0).boxes,
                         "classes": ds.get(0).classes}])
     assert len(out) == 1 and "caption" in out[0]
+
+
+def test_captioner_from_torch(tmp_path):
+    """Serve a reference-lineage torch .pth directly (import bridge)."""
+    import pytest
+    torch = pytest.importorskip("torch")
+    from cvc_tpu.config import Config
+    from tests.test_torch_import import RefTorchModel
+
+    mc = tiny_model_config(feat_dim=32, num_regions=12, seq_length=10)
+    ds = make_synthetic_dataset(num_images=5, num_regions=12, feat_dim=32,
+                                seq_length=10, split="val", seed=0)
+    V = ds.vocab.padded_size(128)
+    torch.manual_seed(0)
+    tm = RefTorchModel(V, mc.input_encoding_size, mc.rnn_size,
+                       mc.att_hid_size, mc.feat_dim)
+    pth = str(tmp_path / "model-best.pth")
+    torch.save(tm.state_dict(), pth)
+    cfg = Config()
+    cfg.model = mc
+    cfg_json = str(tmp_path / "config.json")
+    with open(cfg_json, "w") as f:
+        f.write(cfg.to_json())
+    vocab_file = str(tmp_path / "vocab.json")
+    ds.vocab.save(vocab_file)
+
+    cap = Captioner.from_torch(pth, cfg_json, vocab_file, beam_size=2,
+                               batch_size=4)
+    reqs = [{"features": ds.get(i).features, "boxes": ds.get(i).boxes,
+             "classes": ds.get(i).classes} for i in range(5)]
+    out = cap.caption(reqs)
+    assert len(out) == 5
+    for r in out:
+        assert isinstance(r["caption"], str)
