@@ -73,8 +73,11 @@ class ModelConfig:
     #                                   the per-step [B*K,V] HBM traffic
     #                                   through top-k/logsumexp; near-tie
     #                                   candidates may resolve differently
-    #                                   than f32 select (measured A/B:
-    #                                   experiments/beam_select_bf16.json)
+    #                                   than f32 select.  Measured PARITY
+    #                                   on v5e (the select is top-k-bound,
+    #                                   not HBM-bound — docs/PERF.md §1,
+    #                                   experiments/beam_select_bf16.json),
+    #                                   so default off
     scan_unroll: int = 1              # lax.scan unroll for the decode/recon
     #                                   scans. >1 amortizes loop overhead and
     #                                   lets XLA fuse across steps: measured
