@@ -164,6 +164,10 @@ class DataConfig:
     #                                   (frequent-head/rare-tail partial-
     #                                   alignment regime; data/synthetic.py)
     synthetic_refs_per_image: int = 1  # reference captions per image
+    synthetic_ref_subset: bool = False  # each reference mentions a random
+    #                                    SUBSET of the objects (COCO-like
+    #                                    coverage slack; the regime where
+    #                                    sequence-level reward can beat XE)
     #                                   (COCO/Flickr30k have 5; >1 gives
     #                                   SCST a dense reward)
 
@@ -310,6 +314,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic_refs_per_image", type=int, default=1,
                    help="reference captions per synthetic image (COCO-"
                         "style multi-ref; dense SCST reward)")
+    p.add_argument("--synthetic_ref_subset", type=int, default=0,
+                   help="1: each reference mentions a random subset of "
+                        "the objects (coverage slack; the regime where "
+                        "SCST can beat XE)")
     p.add_argument("--feat_dim", type=int, default=2048,
                    help="region feature dim (reference: 2048-d fc6)")
     p.add_argument("--weight_decay", type=float, default=0.0)
@@ -426,6 +434,7 @@ def _defaults_from_config(cfg: Config) -> dict:
         synthetic_easy_regions=d.synthetic_easy_regions,
         synthetic_class_skew=d.synthetic_class_skew,
         synthetic_refs_per_image=d.synthetic_refs_per_image,
+        synthetic_ref_subset=int(d.synthetic_ref_subset),
         feat_dim=m.feat_dim, weight_decay=t.weight_decay,
         seq_length=m.seq_length,
         num_props=m.num_regions, num_frames=m.num_frames,
@@ -501,6 +510,7 @@ def config_from_args(argv=None) -> Config:
     d.synthetic_easy_regions = args.synthetic_easy_regions
     d.synthetic_class_skew = args.synthetic_class_skew
     d.synthetic_refs_per_image = args.synthetic_refs_per_image
+    d.synthetic_ref_subset = bool(args.synthetic_ref_subset)
     d.seed = args.seed
 
     m.seq_length = args.seq_length

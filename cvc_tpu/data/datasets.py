@@ -151,6 +151,7 @@ def load_dataset(data_cfg, model_cfg, split: str) -> CaptionDataset:
             easy_regions=getattr(data_cfg, "synthetic_easy_regions", 12),
             class_skew=getattr(data_cfg, "synthetic_class_skew", 0.0),
             refs_per_image=getattr(data_cfg, "synthetic_refs_per_image", 1),
+            ref_subset=getattr(data_cfg, "synthetic_ref_subset", False),
         )
     vocab = Vocabulary.load(data_cfg.vocab_file)
     return load_hdf5_dataset(

@@ -52,7 +52,8 @@ def make_synthetic_dataset(num_images: int = 256,
                            easy_frac: float = 0.0,
                            easy_regions: int = 12,
                            class_skew: float = 0.0,
-                           refs_per_image: int = 1) -> CaptionDataset:
+                           refs_per_image: int = 1,
+                           ref_subset: bool = False) -> CaptionDataset:
     """`word_order="shuffled"` mentions objects in random order, and
     `unique_colors=True` gives each object in an image a distinct color.
     Together they reproduce the paper's precondition on real data: the
@@ -80,7 +81,17 @@ def make_synthetic_dataset(num_images: int = 256,
     point the decoder's attention (and its argmax class words) are correct
     on a head of classes and wrong on the tail.  Macro (per-class)
     grounding F1 then reads "partial" exactly the way Flickr30k/ANet
-    baselines do."""
+    baselines do.
+
+    `ref_subset=True` makes every reference mention only a RANDOM SUBSET
+    of the image's objects (uniform 1..n_obj, different subset per ref),
+    with a FIXED filler word — the COCO-like regime where references
+    have coverage/length slack and nothing else: the measured CIDEr-D
+    oracle on this world ranks full-coverage captions above any average
+    reference (longest-ref 5.79 > ref0 5.14 > shortest 4.04), so a
+    sequence-level reward has honest headroom that token-level XE's
+    length marginal does not expose (experiments/README.md round-3 SCST
+    boundary conditions)."""
     del vocab_size  # vocab is derived from the generated captions
     # Split-dependent seed so train/val/test differ but are reproducible.
     rng = np.random.default_rng(seed + {"train": 0, "val": 1, "test": 2}.get(split, 3))
@@ -161,12 +172,22 @@ def make_synthetic_dataset(num_images: int = 256,
         col_of = {int(c): obj_colors[k] for k, c in enumerate(obj_cls)}
         box_of = {int(c): obj_boxes[k] for k, c in enumerate(obj_cls)}
         for ref in range(max(1, refs_per_image)):
-            order = obj_cls if ref == 0 else (
-                rng.permutation(obj_cls) if word_order == "shuffled"
-                else obj_cls)
+            mention = obj_cls
+            if ref_subset:
+                m = int(rng.integers(1, n_obj + 1))
+                mention = np.sort(rng.choice(obj_cls, size=m, replace=False))
+            order = mention if (ref == 0 and not ref_subset) else (
+                rng.permutation(mention) if word_order == "shuffled"
+                else mention)
             words = []
             for c in order:
-                words.append(str(rng.choice(_FILLER)))
+                # subset mode fixes the filler: coverage/length is the
+                # ONLY slack between refs, so the sequence-level reward
+                # sees it undiluted by irreducible filler noise (the
+                # round-3 SCST diagnosis found random fillers both mask
+                # the reward and invite diversity collapse)
+                words.append("a" if ref_subset
+                             else str(rng.choice(_FILLER)))
                 words.append(_COLORS[col_of[int(c)]])
                 entities.append((ref, len(words), int(c), box_of[int(c)]))
                 words.append(names[int(c)])

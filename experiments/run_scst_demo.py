@@ -20,9 +20,11 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def world_flags(seed, images, epochs, val_every, refs_per_image=1):
+def world_flags(seed, images, epochs, val_every, refs_per_image=1,
+                ref_subset=False):
     return [
         "--synthetic_refs_per_image", str(refs_per_image),
+        *(["--synthetic_ref_subset", "1"] if ref_subset else []),
         "--dataset", "synthetic", "--synthetic_word_order", "shuffled",
         "--synthetic_unique_colors", "1",
         "--synthetic_num_images", str(images),
@@ -92,6 +94,11 @@ def main():
                          "reward too spiky for pure REINFORCE)")
     ap.add_argument("--arms", default="xecont,scst",
                     help="comma list of branch arms: xecont, scst")
+    ap.add_argument("--ref_subset", action="store_true",
+                    help="coverage-slack world: each reference mentions a "
+                         "random subset of the objects (the regime where "
+                         "the CIDEr-optimal caption covers the ref UNION "
+                         "and XE structurally stops at per-ref length)")
     ap.add_argument("--branch_val_every", type=int, default=2,
                     help="val cadence (epochs) for the branch runs")
     a = ap.parse_args()
@@ -104,10 +111,12 @@ def main():
         base = f"scst_base_s{seed}"
         if a.refs_per_image != 1:
             base = f"scst_base_mref{a.refs_per_image}_s{seed}"
+        if a.ref_subset:
+            base = f"scst_base_subset_s{seed}"
         if not a.skip_base:
             base_traj = run(base, [
                 *world_flags(seed, a.images, a.xe_epochs, 4,
-                             a.refs_per_image),
+                             a.refs_per_image, a.ref_subset),
                 "--device_resident", "1",
                 "--save_checkpoint_every", str(a.xe_epochs)])
             results["runs"][base] = {"trajectory": base_traj}
@@ -116,7 +125,8 @@ def main():
 
         cont = [  # both branches resume the SAME XE checkpoint
             *world_flags(seed, a.images, a.total_epochs,
-                         a.branch_val_every, a.refs_per_image),
+                         a.branch_val_every, a.refs_per_image,
+                         a.ref_subset),
             "--device_resident", "1",   # SCST composes with the
             #   HBM-resident dataset on a single device (scst.py)
             "--start_from", f"/tmp/{base}",

@@ -168,3 +168,48 @@ def test_synthetic_refs_per_image():
     n4 = sum(b.valid.sum() for b in make_batches(ds4, cfg, 4, shuffle=False,
                                                  seed=0))
     assert n4 == 4 * n1
+
+
+def test_synthetic_ref_subset():
+    """Coverage-slack world: with ref_subset each reference mentions a
+    random subset of the objects (uniform 1..n_obj, per-ref), so the
+    CIDEr-optimal caption (union coverage) differs from any single ref —
+    the regime where sequence-level reward has slack over XE."""
+    from cvc_tpu.data.synthetic import make_synthetic_dataset
+
+    ds = make_synthetic_dataset(num_images=24, num_regions=12, feat_dim=32,
+                                seq_length=18, num_classes=12, seed=5,
+                                word_order="shuffled", unique_colors=True,
+                                refs_per_image=5, ref_subset=True)
+    saw_partial = saw_varying = False
+    for i in range(24):
+        ex = ds.get(i)
+        all_objs = set()
+        per_ref = []
+        for cap in ex.captions:
+            objs = set(w for w in cap.split() if w.startswith("obj"))
+            assert len(objs) >= 1
+            per_ref.append(objs)
+            all_objs |= objs
+        # subsets of the union; at least some refs are strict subsets
+        for objs in per_ref:
+            assert objs <= all_objs
+        if any(objs < all_objs for objs in per_ref):
+            saw_partial = True
+        if len({len(o) for o in per_ref}) > 1:
+            saw_varying = True
+        # entities still point at class words of their own caption
+        for ent in ex.entities:
+            words = ex.captions[ent.caption_idx].split()
+            assert words[ent.word_idx].startswith("obj")
+    assert saw_partial and saw_varying
+
+    # default off: every ref mentions the full object set (old behavior)
+    ds0 = make_synthetic_dataset(num_images=8, num_regions=12, feat_dim=32,
+                                 seq_length=18, num_classes=12, seed=5,
+                                 word_order="shuffled", unique_colors=True,
+                                 refs_per_image=3)
+    for i in range(8):
+        sets = [set(w for w in c.split() if w.startswith("obj"))
+                for c in ds0.get(i).captions]
+        assert all(s == sets[0] for s in sets)
