@@ -78,6 +78,12 @@ class ModelConfig:
     #                                   not HBM-bound — docs/PERF.md §1,
     #                                   experiments/beam_select_bf16.json),
     #                                   so default off
+    pallas_select: bool | None = None  # beam-select top-k+lse kernel
+    #                                   (ops/pallas/topk_select.py): one
+    #                                   VMEM pass instead of the TopK
+    #                                   custom call + separate logsumexp
+    #                                   read.  None = auto (on on real
+    #                                   TPU), index-exact vs lax.top_k
     scan_unroll: int = 1              # lax.scan unroll for the decode/recon
     #                                   scans. >1 amortizes loop overhead and
     #                                   lets XLA fuse across steps: measured
@@ -344,6 +350,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(cycle cold-start bootstrap), then argmax")
     p.add_argument("--use_pallas", type=int, default=-1,
                    help="-1 auto (Pallas on TPU), 0 off, 1 on")
+    p.add_argument("--pallas_select", type=int, default=-1,
+                   help="beam-select top-k+lse Pallas kernel: -1 auto "
+                        "(on on TPU), 0 off (lax.top_k), 1 on")
     p.add_argument("--scan_unroll", type=int, default=1,
                    help="decode-scan unroll factor (TPU perf knob)")
     p.add_argument("--train_scan_unroll", type=int, default=0,
@@ -445,6 +454,8 @@ def _defaults_from_config(cfg: Config) -> dict:
         cycle_gt_until=t.cycle_gt_until,
         cycle_localize_gt=int(m.cycle_localize_gt),
         use_pallas=-1 if m.use_pallas is None else int(m.use_pallas),
+        pallas_select=-1 if m.pallas_select is None
+        else int(m.pallas_select),
         scan_unroll=m.scan_unroll,
         train_scan_unroll=m.train_scan_unroll,
         stacked_grad=int(m.stacked_grad),
@@ -527,6 +538,8 @@ def config_from_args(argv=None) -> Config:
     m.cycle_localize_gt = bool(args.cycle_localize_gt)
     m.attn_supervision_weight = args.attn_supervision_weight
     m.use_pallas = None if args.use_pallas < 0 else bool(args.use_pallas)
+    m.pallas_select = (None if args.pallas_select < 0
+                       else bool(args.pallas_select))
     m.scan_unroll = args.scan_unroll
     m.train_scan_unroll = args.train_scan_unroll
     m.stacked_grad = bool(args.stacked_grad)

@@ -195,6 +195,9 @@ def beam_search(params, cfg, arrays, beam_size: int, max_len: int,
     S = arrays["region_mask"].shape[1]
     V = cfg.vocab_size
     L = max_len + 1
+    from cvc_tpu.ops.dispatch import pallas_interpret, use_pallas_select
+    from cvc_tpu.ops.pallas.topk_select import fused_topk_lse
+    _pallas_select = use_pallas_select(cfg)
 
     v_enc, keys, v_global = _encode(params, cfg, arrays)
     vg_pre = _vg_pre(params, cfg, v_global)
@@ -223,8 +226,14 @@ def beam_search(params, cfg, arrays, beam_size: int, max_len: int,
         # matmul and the TopK custom call never exist.  The normalizer
         # comes back as one fused logsumexp reduction over the same
         # logits, applied to the K survivors only.
-        v1, idx1 = jax.lax.top_k(logits, K)                      # [B*K, K]
-        lse = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1)
+        if _pallas_select:
+            # one VMEM pass: top-K + logsumexp off a single HBM read of
+            # the logits (index-exact vs lax.top_k; ops/pallas/topk_select)
+            v1, idx1, lse = fused_topk_lse(
+                logits, K, interpret=pallas_interpret())
+        else:
+            v1, idx1 = jax.lax.top_k(logits, K)                  # [B*K, K]
+            lse = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1)
         lp1 = (v1.astype(jnp.float32) - lse[:, None]).reshape(B, K, K)
         idx1 = idx1.reshape(B, K, K).astype(jnp.int32)
 

@@ -47,6 +47,21 @@ def use_pallas(cfg) -> bool:
     return bool(up)
 
 
+def use_pallas_select(cfg) -> bool:
+    """Pallas dispatch for the beam-select top-k+logsumexp kernel
+    (ops/pallas/topk_select.py).  Independent knob from `use_pallas`
+    (the attention/LSTM kernels) so the two can be A/B'd separately:
+    `ModelConfig.pallas_select` None = auto — on on real TPU (the TopK
+    custom call measures ~10x over the HBM roofline at vocab width,
+    docs/PERF.md §1), off elsewhere (interpret mode is a correctness
+    tool only).  No VMEM width gate: the kernel blocks over rows and
+    the vocab axis is static."""
+    ps = getattr(cfg, "pallas_select", None)
+    if ps is None:
+        return jax.default_backend() == "tpu"
+    return bool(ps)
+
+
 def use_pallas_train_scan(cfg) -> bool:
     """Pallas dispatch for the TEACHER-FORCED decode/reconstruct scans
     (training + eval loss).  Auto resolves to False even on TPU: through
