@@ -140,6 +140,9 @@ def greedy_decode(params, cfg, arrays, max_len: int, temperature: float = 1.0,
     max_len + 1 (room for EOS).  (reference: CaptionModel.sample)
     """
     B = arrays["feats"].shape[0]
+    from cvc_tpu.ops.dispatch import pallas_interpret, use_pallas_select
+    from cvc_tpu.ops.pallas.topk_select import fused_topk_lse
+    _pallas_select = use_pallas_select(cfg) and not sample
     v_enc, keys, v_global = _encode(params, cfg, arrays)
     vg_pre = _vg_pre(params, cfg, v_global)
     region_mask = arrays["region_mask"]
@@ -155,15 +158,31 @@ def greedy_decode(params, cfg, arrays, max_len: int, temperature: float = 1.0,
         carry, logits, alpha = _step_logits(
             params, cfg, s["carry"], s["word"], v_enc, keys, region_mask,
             vg_pre)
-        logp = jax.nn.log_softmax(logits / jnp.maximum(temperature, 1e-6))
-        if sample:
+        if _pallas_select:
+            # argmax decode is the k=1 case of the fused select kernel:
+            # one HBM read of the logits instead of materializing the
+            # [B, V] log_softmax (argmax ties resolve to the lowest
+            # index, same as jnp.argmax)
+            r = s["rng"]
+            v1, idx1, lse = fused_topk_lse(
+                logits / jnp.maximum(temperature, 1e-6), 1,
+                interpret=pallas_interpret())
+            nxt = idx1[:, 0]
+            tok_lp = v1[:, 0] - lse
+        elif sample:
+            logp = jax.nn.log_softmax(
+                logits / jnp.maximum(temperature, 1e-6))
             r, sub = jax.random.split(s["rng"])
             nxt = jax.random.categorical(sub, logp)
+            nxt = nxt.astype(jnp.int32)
+            tok_lp = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
         else:
+            logp = jax.nn.log_softmax(
+                logits / jnp.maximum(temperature, 1e-6))
             r = s["rng"]
             nxt = jnp.argmax(logp, axis=-1)
-        nxt = nxt.astype(jnp.int32)
-        tok_lp = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
+            nxt = nxt.astype(jnp.int32)
+            tok_lp = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
         nxt = jnp.where(s["finished"], PAD_ID, nxt)
         tok_lp = jnp.where(s["finished"], 0.0, tok_lp)
         fin = s["finished"] | (nxt == EOS_ID)

@@ -83,3 +83,28 @@ def test_beam_search_parity_with_and_without_kernel():
     np.testing.assert_allclose(np.asarray(out0["scores"]),
                                np.asarray(out1["scores"]), rtol=1e-4,
                                atol=1e-5)
+
+
+def test_greedy_decode_parity_with_and_without_kernel():
+    """Greedy decode is the k=1 case of the fused select kernel: tokens
+    must be index-exact and per-token logprobs close vs the jnp path."""
+    from dataclasses import replace
+
+    from cvc_tpu.models import core
+    from cvc_tpu.models.decoding import greedy_decode
+    from tests.conftest import random_batch, tiny_model_config
+
+    cfg = tiny_model_config(vocab_size=32, rnn_size=16, att_hid_size=12,
+                            input_encoding_size=8, feat_dim=16,
+                            num_regions=6, seq_length=6)
+    params = core.init_params(jax.random.PRNGKey(4), cfg)
+    arrays = {k: jnp.asarray(v) for k, v in random_batch(cfg, 3, 5).items()}
+    out0 = greedy_decode(params, replace(cfg, pallas_select=False),
+                         arrays, max_len=cfg.seq_length)
+    out1 = greedy_decode(params, replace(cfg, pallas_select=True),
+                         arrays, max_len=cfg.seq_length)
+    np.testing.assert_array_equal(np.asarray(out0["tokens"]),
+                                  np.asarray(out1["tokens"]))
+    np.testing.assert_allclose(np.asarray(out0["logprobs"]),
+                               np.asarray(out1["logprobs"]), rtol=1e-4,
+                               atol=1e-5)
