@@ -118,6 +118,14 @@ def main():
     ap.add_argument("--seeds", default="31,99")
     ap.add_argument("--skip_base", action="store_true",
                     help="reuse /tmp/repl_plain_s<seed> checkpoints")
+    ap.add_argument("--base_only", action="store_true",
+                    help="dose scan: train/record baselines, no "
+                         "continuations")
+    ap.add_argument("--min_dose", type=float, default=0.0,
+                    help="run continuations only when the base plateau "
+                         "F1_loc >= this (dose is measured BEFORE arm "
+                         "assignment, so this selects the engagement "
+                         "regime, not the outcome)")
     a = ap.parse_args()
 
     out_path = os.path.join(REPO, "experiments",
@@ -149,6 +157,11 @@ def main():
         with open(out_path, "w") as f:
             json.dump(results, f, indent=1)
         print(f"   base s{seed}: dose F1_loc={dose}", flush=True)
+        if a.base_only or (dose is not None and dose < a.min_dose):
+            print(f"   s{seed}: skipping continuations "
+                  f"(base_only={a.base_only}, dose {dose} < "
+                  f"min_dose {a.min_dose})", flush=True)
+            continue
 
         for arm, arm_flags in ARMS.items():
             name = f"repl_{arm}_s{seed}"
