@@ -116,9 +116,10 @@ def pad_regions(feats: np.ndarray, boxes: np.ndarray, classes: np.ndarray,
     out_b = np.zeros((num_frames, num_regions, 4), dtype=np.float32)
     out_c = np.zeros((num_frames, num_regions), dtype=np.int32)
     out_m = np.zeros((num_frames, num_regions), dtype=np.float32)
+    d = min(feats.shape[2], feat_dim)  # zero-pad narrow features, truncate wide
     for f in range(F):
         n = min(feats.shape[1], num_regions)
-        out_f[f, :n] = feats[f, :n, :feat_dim]
+        out_f[f, :n, :d] = feats[f, :n, :d]
         out_b[f, :n] = boxes[f, :n]
         out_c[f, :n] = classes[f, :n]
         out_m[f, :n] = 1.0
@@ -258,12 +259,15 @@ def make_batches(ds: CaptionDataset, model_cfg, batch_size: int,
     _SENTINEL = object()
 
     def worker():
+        # Assembly errors must reach the consumer: a swallowed exception
+        # here would look like a cleanly finished (but truncated) epoch.
         try:
             for chunk in chunks:
                 q.put(_assemble(ds, chunk, model_cfg, batch_size,
                                 with_gt_region=with_gt_region))
-        finally:
             q.put(_SENTINEL)
+        except BaseException as e:
+            q.put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -271,6 +275,8 @@ def make_batches(ds: CaptionDataset, model_cfg, batch_size: int,
         item = q.get()
         if item is _SENTINEL:
             break
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 

@@ -162,12 +162,40 @@ def test_synthetic_refs_per_image():
             assert words[ent.word_idx].startswith("obj")
 
     from cvc_tpu.data.pipeline import make_batches
-    cfg = tiny_model_config()
+    cfg = tiny_model_config(feat_dim=32, num_regions=12, seq_length=16)
     n1 = sum(b.valid.sum() for b in make_batches(ds1, cfg, 4, shuffle=False,
-                                                 seed=0))
+                                                 seed=0, drop_last=False))
     n4 = sum(b.valid.sum() for b in make_batches(ds4, cfg, 4, shuffle=False,
-                                                 seed=0))
-    assert n4 == 4 * n1
+                                                 seed=0, drop_last=False))
+    assert n1 == 6 and n4 == 4 * n1
+
+
+def test_prefetch_worker_error_propagates():
+    """An assembly error in the prefetch thread must raise in the consumer,
+    not end the epoch early (a swallowed error = silent data truncation)."""
+    import pytest
+    from cvc_tpu.data.synthetic import make_synthetic_dataset
+    from cvc_tpu.data.pipeline import make_batches
+
+    ds = make_synthetic_dataset(num_images=6, num_regions=12, feat_dim=32,
+                                seq_length=12, split="train", seed=0)
+    cfg = tiny_model_config(feat_dim=32, num_regions=12, seq_length=12)
+
+    # Wrap the dataset so the 2nd example raises inside the worker thread.
+    class FailingDS:
+        vocab = ds.vocab
+
+        def __len__(self):
+            return len(ds)
+
+        def get(self, i):
+            if i == 1:
+                raise RuntimeError("synthetic assembly failure")
+            return ds.get(i)
+
+    with pytest.raises(RuntimeError, match="synthetic assembly failure"):
+        list(make_batches(FailingDS(), cfg, 4, shuffle=False, seed=0,
+                          drop_last=False, prefetch=2))
 
 
 def test_synthetic_ref_subset():
