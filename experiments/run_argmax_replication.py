@@ -126,7 +126,12 @@ def main():
                          "F1_loc >= this (dose is measured BEFORE arm "
                          "assignment, so this selects the engagement "
                          "regime, not the outcome)")
+    ap.add_argument("--arms", default=",".join(ARMS),
+                    help="comma-separated subset of arms to run "
+                         "(resume a partially-completed seed without "
+                         "repeating its finished arms)")
     a = ap.parse_args()
+    arms = {k: ARMS[k] for k in a.arms.split(",") if k}
 
     out_path = os.path.join(REPO, "experiments",
                             "argmax_cycle_replication_results.json")
@@ -163,7 +168,7 @@ def main():
                   f"min_dose {a.min_dose})", flush=True)
             continue
 
-        for arm, arm_flags in ARMS.items():
+        for arm, arm_flags in arms.items():
             name = f"repl_{arm}_s{seed}"
             ckpt, log = f"/tmp/{name}", f"/tmp/{name}.log"
             cmd = [sys.executable, "train.py", *cont_flags(seed),
