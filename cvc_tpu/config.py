@@ -226,6 +226,10 @@ class TrainConfig:
     val_every_epoch: int = 1
     language_eval: bool = True        # reference: --language_eval
     grounding_eval: bool = True
+    cycle_probes: bool = False        # log cycle-mechanism diagnostics at
+    #                                   every validation (tf_attn_acc,
+    #                                   localizer-beta acc, v-hat
+    #                                   dependence; evaluation/probes.py)
     beam_size: int = 1                # decode config used during validation
     losses_log_every: int = 25        # steps
     seed: int = 123
@@ -407,6 +411,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--split", type=str, default="test")
     p.add_argument("--out_dir", type=str, default="eval_out")
     p.add_argument("--gt_sentence_mode", type=int, default=0)
+    p.add_argument("--cycle_probes", type=int, default=0,
+                   help="log cycle-mechanism diagnostics at every "
+                        "validation (tf_attn_acc, localizer-beta acc, "
+                        "v-hat dependence)")
     # Parallelism: reference exposed --mGPUs (torch DataParallel). We map the
     # same idea to an SPMD device mesh.
     p.add_argument("--mGPUs", "--num_devices", dest="num_devices", type=int, default=0,
@@ -477,6 +485,7 @@ def _defaults_from_config(cfg: Config) -> dict:
         val_every_epoch=t.val_every_epoch,
         language_eval=int(t.language_eval),
         grounding_eval=int(t.grounding_eval),
+        cycle_probes=int(t.cycle_probes),
         losses_log_every=t.losses_log_every,
         beam_size=e.beam_size, sample_method=e.sample_method,
         temperature=e.temperature, length_penalty=e.length_penalty,
@@ -573,6 +582,7 @@ def config_from_args(argv=None) -> Config:
     t.val_every_epoch = args.val_every_epoch
     t.language_eval = bool(args.language_eval)
     t.grounding_eval = bool(args.grounding_eval)
+    t.cycle_probes = bool(args.cycle_probes)
     t.losses_log_every = args.losses_log_every
     t.seed = args.seed
     t.num_devices = args.num_devices

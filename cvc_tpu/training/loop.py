@@ -258,11 +258,17 @@ def train(cfg: Config, max_epochs: int | None = None,
                 # with a mesh the decode runs data-parallel on the slice
                 # (params stay in their training placement, batches shard
                 # over 'data'); single-device keeps the host-copy path
+                eval_params = (state.params if mesh is not None
+                               else _host_params(state))
                 val_metrics = evaluate_split(
-                    state.params if mesh is not None
-                    else _host_params(state),
-                    m_cfg, val_eval_cfg, val_ds,
+                    eval_params, m_cfg, val_eval_cfg, val_ds,
                     cfg.data.batch_size, mesh=mesh)
+                if t_cfg.cycle_probes:
+                    from cvc_tpu.evaluation.probes import \
+                        cycle_probe_metrics
+                    val_metrics.update(cycle_probe_metrics(
+                        eval_params, m_cfg, val_ds,
+                        cfg.data.batch_size, mesh=mesh))
                 logger.log(int(state.step), val_metrics, prefix="val")
             cider = float(val_metrics.get("CIDEr") or 0.0)
             if cider > infos["best_cider"]:

@@ -50,6 +50,7 @@ def world_flags(seed):
         "--val_every_epoch", "4",
         "--losses_log_every", "2000",
         "--language_eval", "1", "--grounding_eval", "1",
+        "--cycle_probes", "1",
         "--seed", str(seed),
     ]
 
@@ -83,7 +84,7 @@ def parse_val(path):
     traj = []
     for line in open(path, errors="replace"):
         if "val/F1_loc" in line:
-            m = dict(re.findall(r"val/([\w.]+)=([0-9.]+)", line))
+            m = dict(re.findall(r"val/([\w.]+)=(-?[0-9.]+)", line))
             step = re.match(r"\[step (\d+)\]", line)
             traj.append({"step": int(step.group(1)) if step else -1,
                          **{k: float(v) for k, v in m.items()}})
@@ -102,15 +103,21 @@ def run(cmd, log_path):
 
 
 def tf_attn_acc(ckpt, log):
+    """Returns (accuracy, identity) where identity records which
+    checkpoint dir + restored step the eval actually read — the s31
+    spot-check: two arms reporting bit-identical accuracy must still
+    show distinct checkpoint identities."""
     gcmd = [sys.executable, "eval.py", "--start_from", ckpt,
             "--split", "val", "--gt_sentence_mode", "1",
             "--language_eval", "0", "--grounding_eval", "0",
             "--sample_method", "greedy", "--beam_size", "1"]
     if run(gcmd, log):
-        m = re.search(r'"attn_accuracy":\s*([0-9.]+)',
-                      open(log, errors="replace").read())
-        return float(m.group(1)) if m else None
-    return None
+        text = open(log, errors="replace").read()
+        m = re.search(r'"attn_accuracy":\s*([0-9.]+)', text)
+        s = re.search(r"evaluating checkpoint step (\d+)", text)
+        ident = {"ckpt": ckpt, "step": int(s.group(1)) if s else None}
+        return (float(m.group(1)) if m else None), ident
+    return None, {"ckpt": ckpt, "step": None}
 
 
 def main():
@@ -154,11 +161,12 @@ def main():
         base_traj = parse_val(base_log)
         dose = base_traj[-1]["F1_loc"] if base_traj else None
         results["baseline_f1_loc"][str(seed)] = dose
+        acc, ident = tf_attn_acc(base_ckpt,
+                                 f"/tmp/repl_plain_s{seed}_gt.log")
         results["runs"][f"base_s{seed}"] = {
             "trajectory": base_traj,
             "final": base_traj[-1] if base_traj else None,
-            "tf_attn_acc": tf_attn_acc(base_ckpt,
-                                       f"/tmp/repl_plain_s{seed}_gt.log")}
+            "tf_attn_acc": acc, "tf_attn_ckpt": ident}
         with open(out_path, "w") as f:
             json.dump(results, f, indent=1)
         print(f"   base s{seed}: dose F1_loc={dose}", flush=True)
@@ -179,8 +187,8 @@ def main():
             rec["final"] = rec["trajectory"][-1] if rec["trajectory"] \
                 else None
             if ok:
-                rec["tf_attn_acc"] = tf_attn_acc(ckpt,
-                                                 f"/tmp/{name}_gt.log")
+                acc, ident = tf_attn_acc(ckpt, f"/tmp/{name}_gt.log")
+                rec["tf_attn_acc"], rec["tf_attn_ckpt"] = acc, ident
             results["runs"][name] = rec
             with open(out_path, "w") as f:
                 json.dump(results, f, indent=1)
