@@ -251,6 +251,8 @@ class EvalConfig:
     language_eval: bool = True
     grounding_eval: bool = True
     gt_sentence_mode: bool = False    # teacher-forced localization accuracy mode
+    cycle_probes: bool = False        # append the cycle-mechanism probe
+    #                                   bundle (evaluation/probes.py)
     grounding_source: str = "decoder"  # "decoder" (attention alpha at
     #                                    generation) | "localizer" (beta of
     #                                    the cycle's localizer on the
@@ -583,6 +585,7 @@ def config_from_args(argv=None) -> Config:
     t.language_eval = bool(args.language_eval)
     t.grounding_eval = bool(args.grounding_eval)
     t.cycle_probes = bool(args.cycle_probes)
+    e.cycle_probes = bool(args.cycle_probes)
     t.losses_log_every = args.losses_log_every
     t.seed = args.seed
     t.num_devices = args.num_devices

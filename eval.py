@@ -73,6 +73,10 @@ def main(argv=None):
                             f"{cfg.id}_{cfg.eval.split}_preds.json")
     results = evaluate_split(eval_params, cfg.model, cfg.eval, ds,
                              cfg.data.batch_size, out_path=out_path)
+    if cfg.eval.cycle_probes:
+        from cvc_tpu.evaluation.probes import cycle_probe_metrics
+        results.update(cycle_probe_metrics(eval_params, cfg.model, ds,
+                                           cfg.data.batch_size))
     print(json.dumps(results, indent=2, default=float))
     return results
 
