@@ -93,6 +93,11 @@ class DeviceDataset:
     def batch_tokens(self, idx: np.ndarray) -> float:
         return float(self.tokens_per_pair[idx].sum())
 
+    def example_ids(self, idx) -> list[int]:
+        """Original dataset example index for each pair in a batch
+        (host-side; SCST needs the image ids for the reward lookup)."""
+        return [self.pairs[int(i)][0] for i in idx]
+
     def nbytes(self) -> int:
         return sum(int(np.prod(v.shape)) * v.dtype.itemsize
                    for v in self.data.values())
@@ -180,6 +185,9 @@ class ShardedDeviceDataset:
         self.idx_sharding = sh
         self.num_pairs = Pn
         self.pair_shards = pair_shards
+        # original example id per pair (host-side; example_ids())
+        self._pair_example_orig = np.asarray(
+            [ei for (ei, _ci) in pairs], np.int64)
         # host-side stats in the stacked layout (logging without syncs)
         self.tokens_per_pair = stack_pair(tpp)
 
@@ -205,6 +213,18 @@ class ShardedDeviceDataset:
         for s in range(self.n_shards):
             g[s * b:(s + 1) * b] += s * self.P_s
         return float(self.tokens_per_pair[g].sum())
+
+    def example_ids(self, idx) -> list[int]:
+        """Original dataset example index for each pair in a batch:
+        chunk k of `idx` holds shard k's LOCAL pair ids — map back
+        through pair_shards to the original pair, then to its example."""
+        b = len(idx) // self.n_shards
+        out = []
+        for s in range(self.n_shards):
+            for i in idx[s * b:(s + 1) * b]:
+                orig_pair = self.pair_shards[s][int(i)]
+                out.append(int(self._pair_example_orig[orig_pair]))
+        return out
 
     def nbytes(self) -> int:
         return sum(int(np.prod(v.shape)) * v.dtype.itemsize

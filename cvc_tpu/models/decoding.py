@@ -20,6 +20,7 @@ so its cumulative score freezes; token buffers after EOS hold PAD, which
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from functools import partial
 
 import jax
@@ -343,7 +344,7 @@ def beam_search(params, cfg, arrays, beam_size: int, max_len: int,
 # Jitted entry points
 # ---------------------------------------------------------------------------
 
-_DECODER_CACHE: dict = {}
+_DECODER_CACHE = OrderedDict()
 
 
 def make_decoder(cfg, eval_cfg):
@@ -351,14 +352,17 @@ def make_decoder(cfg, eval_cfg):
 
     Memoized on the (model cfg, eval cfg) values: validation calls this
     every epoch, and a fresh `jax.jit` closure per call would recompile
-    the whole beam search each time."""
+    the whole beam search each time.  LRU-bounded at 32 entries so a
+    long config sweep evicts only its coldest decoder, never the one
+    the current run revalidates every epoch."""
     import dataclasses
     key = (repr(dataclasses.asdict(cfg)), repr(dataclasses.asdict(eval_cfg)))
     if key in _DECODER_CACHE:
+        _DECODER_CACHE.move_to_end(key)
         return _DECODER_CACHE[key]
-    if len(_DECODER_CACHE) >= 32:      # bound the cache (hygiene; a long
-        _DECODER_CACHE.clear()         # sweep over configs would otherwise
-    fn = _make_decoder_uncached(cfg, eval_cfg)   # grow it without limit)
+    while len(_DECODER_CACHE) >= 32:
+        _DECODER_CACHE.popitem(last=False)
+    fn = _make_decoder_uncached(cfg, eval_cfg)
     _DECODER_CACHE[key] = fn
     return fn
 

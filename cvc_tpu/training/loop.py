@@ -112,15 +112,12 @@ def train(cfg: Config, max_epochs: int | None = None,
     step_fn = get_step_fn(_cycle_stage(0))
 
     # Device-resident feeding (HBM-sized datasets; also the workaround for
-    # this sandbox's per-upload host leak).  Composes with the mesh: each
-    # device holds its own HBM shard and gathers locally under shard_map
-    # (ShardedDeviceDataset).  SCST composes on a single device (sampler
-    # and update gather from HBM; only tokens/rewards visit the host);
-    # streaming remains the path for scheduled sampling and for SCST
-    # over a mesh.
-    resident = (cfg.data.device_resident
-                and t_cfg.scheduled_sampling_start < 0
-                and (t_cfg.self_critical_after < 0 or mesh is None))
+    # this sandbox's per-upload host leak).  Composes with the mesh (each
+    # device holds its own HBM shard and gathers locally under shard_map —
+    # ShardedDeviceDataset), with scheduled sampling (ss_prob rides the
+    # resident step), and with SCST (sampler + PG update gather from HBM,
+    # sharded or not; only tokens/rewards visit the host).
+    resident = cfg.data.device_resident
     dd = resident_steps = None
     if resident:
         from cvc_tpu.data.device_data import (DeviceDataset,
@@ -182,7 +179,9 @@ def train(cfg: Config, max_epochs: int | None = None,
             rewarder = scst["rewarder"] if scst else ScstRewarder(train_refs)
             scst = {
                 "sampler": (make_resident_scst_sampler(m_cfg,
-                                                       m_cfg.seq_length)
+                                                       m_cfg.seq_length,
+                                                       mesh=mesh,
+                                                       state=state)
                             if resident
                             else make_scst_sampler(m_cfg,
                                                    m_cfg.seq_length)),
@@ -205,6 +204,9 @@ def train(cfg: Config, max_epochs: int | None = None,
                     state, metrics = scst["run"](
                         state, dd, idx, train_ds, scst["sampler"],
                         scst["step"], scst["rewarder"], sub)
+                elif use_ss:
+                    state, metrics = r_step(state, dd.data,
+                                            jnp.asarray(idx), rng, ss_prob)
                 else:
                     state, metrics = r_step(state, dd.data,
                                             jnp.asarray(idx), rng)

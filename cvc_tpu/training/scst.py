@@ -45,20 +45,45 @@ def make_scst_sampler(model_cfg, max_len: int, temperature: float = 1.0):
 
 
 def make_resident_scst_sampler(model_cfg, max_len: int,
-                               temperature: float = 1.0):
+                               temperature: float = 1.0, mesh=None,
+                               state=None):
     """Jitted: (params, data, idx, rng) -> dict(sample_tokens,
     greedy_tokens), gathering the batch from the HBM-resident dataset
-    inside the jit (the resident twin of `make_scst_sampler`)."""
+    inside the jit (the resident twin of `make_scst_sampler`).
+
+    With `mesh`, `data` is a ShardedDeviceDataset.data dict: the gather
+    runs under shard_map on each device's local HBM block and the two
+    decodes run data-parallel under GSPMD (params stay in their training
+    placement — pass `state` for the sharding pytree)."""
     from cvc_tpu.data.device_data import gather_batch
 
+    if mesh is not None:
+        from jax.sharding import PartitionSpec as P
+        from cvc_tpu.parallel.mesh import DATA_AXIS
+        local_gather = jax.shard_map(
+            gather_batch, mesh=mesh,
+            in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+            out_specs=P(DATA_AXIS), check_vma=False)
+    else:
+        local_gather = gather_batch
+
     def fn(params, data, idx, rng):
-        arrays = gather_batch(data, idx)
+        arrays = local_gather(data, idx)
         s = greedy_decode(params, model_cfg, arrays, max_len,
                           temperature=temperature, rng=rng, sample=True)
         g = greedy_decode(params, model_cfg, arrays, max_len, sample=False)
         return {"sample_tokens": s["tokens"], "greedy_tokens": g["tokens"]}
 
-    return jax.jit(fn)
+    if mesh is None:
+        return jax.jit(fn)
+    assert state is not None
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from cvc_tpu.parallel.mesh import DATA_AXIS, param_shardings, replicated
+    p_sh = param_shardings(mesh, state.params, shard_vocab_head=True)
+    data_sh = NamedSharding(mesh, P(DATA_AXIS))
+    rep = replicated(mesh)
+    return jax.jit(fn, in_shardings=(p_sh, data_sh, data_sh, rep),
+                   out_shardings=None)
 
 
 def sample_mask(tokens: jnp.ndarray) -> jnp.ndarray:
@@ -81,14 +106,16 @@ def make_scst_step(model_cfg, train_cfg, optimizer, xe_weight: float = 0.0,
     'data', params/moments per param_shardings) so SCST scales over the
     same SPMD mesh as XE training.
 
-    `resident=True` (single-device): the signature becomes (state, data,
-    idx, sample_tokens, advantage, rng) where `data` is a
-    DeviceDataset.data dict — the batch is gathered from HBM inside the
-    jit, so features never re-cross host->device during SCST epochs."""
+    `resident=True`: the signature becomes (state, data, idx,
+    sample_tokens, advantage, rng) where `data` is a DeviceDataset.data
+    dict — the batch is gathered from HBM inside the jit, so features
+    never re-cross host->device during SCST epochs.  Composes with
+    `mesh`: `data` is then a ShardedDeviceDataset.data dict, the gather
+    runs under shard_map per local HBM block, and the PG update runs
+    GSPMD with the same state shardings as XE training (reference:
+    --mGPUs composed with misc/rewards.py SCST)."""
     if enable_cycle is None:
         enable_cycle = train_cfg.enable_cycle
-    assert not (resident and mesh is not None), \
-        "resident SCST is single-device; SCST over a mesh streams batches"
 
     def step(state: TrainState, arrays, sample_tokens, advantage, rng):
         B, L = sample_tokens.shape
@@ -138,12 +165,33 @@ def make_scst_step(model_cfg, train_cfg, optimizer, xe_weight: float = 0.0,
     donate = (0,) if train_cfg.donate_state else ()
     if resident:
         from cvc_tpu.data.device_data import gather_batch
+        if mesh is not None:
+            from jax.sharding import PartitionSpec as P
+            from cvc_tpu.parallel.mesh import DATA_AXIS
+            local_gather = jax.shard_map(
+                gather_batch, mesh=mesh,
+                in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+                out_specs=P(DATA_AXIS), check_vma=False)
+        else:
+            local_gather = gather_batch
 
         def resident_step(state, data, idx, sample_tokens, advantage, rng):
-            return step(state, gather_batch(data, idx), sample_tokens,
+            return step(state, local_gather(data, idx), sample_tokens,
                         advantage, rng)
 
-        return jax.jit(resident_step, donate_argnums=donate)
+        if mesh is None:
+            return jax.jit(resident_step, donate_argnums=donate)
+        assert state is not None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from cvc_tpu.parallel.mesh import DATA_AXIS, replicated
+        from cvc_tpu.training.step import state_shardings
+        sh = state_shardings(mesh, state)
+        data_sh = NamedSharding(mesh, P(DATA_AXIS))
+        rep = replicated(mesh)
+        return jax.jit(
+            resident_step,
+            in_shardings=(sh, data_sh, data_sh, data_sh, data_sh, rep),
+            out_shardings=(sh, None), donate_argnums=donate)
     if mesh is None:
         return jax.jit(step, donate_argnums=donate)
     assert state is not None and example_arrays is not None
@@ -203,7 +251,7 @@ def scst_train_batch_resident(state, dd, idx, ds, sampler, step_fn,
     out = sampler(state.params, dd.data, idx_dev, rng_sample)
     sample_tokens = np.asarray(out["sample_tokens"])
     greedy_tokens = np.asarray(out["greedy_tokens"])
-    ex_ids = [dd.pairs[int(i)][0] for i in idx]
+    ex_ids = dd.example_ids(idx)
     image_ids = [ds.get(e).image_id for e in ex_ids]
     references = {ds.get(e).image_id: ds.get(e).captions for e in ex_ids}
     r_s = rewarder.rewards(ds.vocab, sample_tokens, image_ids, references)

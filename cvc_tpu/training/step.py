@@ -115,9 +115,15 @@ def make_resident_train_step(model_cfg, train_cfg, optimizer, mesh=None,
     With `mesh`, `data` is a ShardedDeviceDataset.data dict (row blocks
     over the 'data' axis) and the gather runs under shard_map so each
     device reads only its local HBM block; the loss/grad then runs GSPMD
-    exactly like make_train_step (grad all-reduce over ICI)."""
+    exactly like make_train_step (grad all-reduce over ICI).
+
+    Scheduled sampling composes: when train_cfg.scheduled_sampling_start
+    >= 0 the signature grows a trailing ss_prob scalar, exactly like
+    make_train_step (the reference annealed --scheduled_sampling_* flags
+    composed with every feeding path)."""
     from cvc_tpu.data.device_data import gather_batch
     enable_cycle = train_cfg.enable_cycle
+    use_ss = train_cfg.scheduled_sampling_start >= 0
 
     if mesh is not None:
         from jax.sharding import PartitionSpec as P
@@ -129,13 +135,14 @@ def make_resident_train_step(model_cfg, train_cfg, optimizer, mesh=None,
     else:
         local_gather = gather_batch
 
-    def train_step(state: TrainState, data: dict, idx, rng):
+    def train_step(state: TrainState, data: dict, idx, rng, ss_prob=None):
         rng = jax.random.fold_in(rng, state.step)
         arrays = local_gather(data, idx)
 
         def loss_fn(p):
             return cyclical_loss(p, model_cfg, arrays, rng=rng, train=True,
-                                 enable_cycle=enable_cycle)
+                                 enable_cycle=enable_cycle,
+                                 ss_prob=ss_prob if use_ss else None)
 
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
@@ -148,8 +155,13 @@ def make_resident_train_step(model_cfg, train_cfg, optimizer, mesh=None,
                            step=state.step + 1), metrics)
 
     donate = (0,) if train_cfg.donate_state else ()
+    if not use_ss:
+        fast = lambda state, data, idx, rng: train_step(state, data, idx,
+                                                        rng)
+    else:
+        fast = train_step
     if mesh is None:
-        return jax.jit(train_step, donate_argnums=donate)
+        return jax.jit(fast, donate_argnums=donate)
     assert state is not None
     from jax.sharding import NamedSharding, PartitionSpec as P
     from cvc_tpu.parallel.mesh import DATA_AXIS
@@ -158,8 +170,9 @@ def make_resident_train_step(model_cfg, train_cfg, optimizer, mesh=None,
     rep = replicated(mesh)
     # data/idx carry their committed shardings (placed by
     # ShardedDeviceDataset); pin the state + rng, let metrics be placed.
-    return jax.jit(train_step,
-                   in_shardings=(sh, data_sh, data_sh, rep),
+    in_sh = (sh, data_sh, data_sh, rep) + ((rep,) if use_ss else ())
+    return jax.jit(fast,
+                   in_shardings=in_sh,
                    out_shardings=(sh, None), donate_argnums=donate)
 
 

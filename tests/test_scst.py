@@ -182,3 +182,62 @@ def test_resident_scst_matches_streaming():
                     jax.tree_util.tree_leaves(state_s.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=1e-6)
+
+
+def test_mesh_resident_scst_matches_single_device():
+    """SCST composed with BOTH the mesh and resident feeding (the round-3
+    exclusion in loop.py): the sharded-HBM sampler + GSPMD PG update must
+    reproduce the single-device resident SCST numerics on the same global
+    batch and rng."""
+    from cvc_tpu.data.device_data import DeviceDataset, ShardedDeviceDataset
+    from cvc_tpu.parallel.mesh import make_mesh
+    from cvc_tpu.training.scst import (make_resident_scst_sampler,
+                                       scst_train_batch_resident)
+    from cvc_tpu.training.step import state_shardings
+
+    cfg = tiny_model_config()
+    ds = make_synthetic_dataset(num_images=12, num_regions=cfg.num_regions,
+                                feat_dim=cfg.feat_dim,
+                                seq_length=cfg.seq_length,
+                                num_classes=cfg.num_classes, seed=9)
+    tc = TrainConfig(learning_rate=1e-3, grad_clip=1.0, donate_state=False,
+                     enable_cycle=False)
+    opt = make_optimizer(tc, steps_per_epoch=10)
+    params = core.init_params(jax.random.PRNGKey(0), cfg)
+    refs = {ds.get(i).image_id: ds.get(i).captions for i in range(len(ds))}
+    rewarder = ScstRewarder(refs)
+    rng = jax.random.PRNGKey(7)
+
+    mesh = make_mesh(4, model_axis=2)
+    dd = ShardedDeviceDataset(ds, cfg, mesh)
+    state_m = TrainState.create(params, opt)
+    state_m = jax.device_put(state_m, state_shardings(mesh, state_m))
+    m_sampler = make_resident_scst_sampler(cfg, cfg.seq_length, mesh=mesh,
+                                           state=state_m)
+    m_step = make_scst_step(cfg, tc, opt, resident=True, mesh=mesh,
+                            state=state_m)
+
+    plain = DeviceDataset(ds, cfg)
+    state_1 = TrainState.create(params, opt)
+    s_sampler = make_resident_scst_sampler(cfg, cfg.seq_length)
+    s_step = make_scst_step(cfg, tc, opt, resident=True)
+
+    for idx in dd.epoch_batches(8, seed=3):
+        # global row order of the mesh batch = concat of shard chunks
+        b = len(idx) // dd.n_shards
+        gidx = np.concatenate(
+            [np.asarray(dd.pair_shards[s])[idx[s * b:(s + 1) * b]]
+             for s in range(dd.n_shards)]).astype(np.int32)
+        assert dd.example_ids(idx) == plain.example_ids(gidx)
+        state_m, mm = scst_train_batch_resident(
+            state_m, dd, idx, ds, m_sampler, m_step, rewarder, rng)
+        state_1, m1 = scst_train_batch_resident(
+            state_1, plain, gidx, ds, s_sampler, s_step, rewarder, rng)
+        assert mm["reward_sample"] == m1["reward_sample"]
+        assert mm["reward_greedy"] == m1["reward_greedy"]
+        np.testing.assert_allclose(float(mm["loss_pg"]),
+                                   float(m1["loss_pg"]), atol=1e-5)
+    for a, b_ in zip(jax.tree_util.tree_leaves(jax.device_get(state_m.params)),
+                     jax.tree_util.tree_leaves(state_1.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-5, atol=2e-5)
