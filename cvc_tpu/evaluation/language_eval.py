@@ -43,6 +43,11 @@ def language_eval(predictions: list[dict],
     cider, cider_per_img = CiderD().compute_score(candidates, refs_tok)
     out = {f"Bleu_{n+1}": bleu[n] for n in range(4)}
     out["CIDEr"] = cider
+    # machine-visible provenance caveat (PARITY.md): the PTB tokenizer is
+    # a behavioral port pinned by a SELF-AUTHORED golden corpus, not by
+    # outputs of the CoreNLP jar (no JVM in this sandbox).
+    out["tokenizer_source"] = \
+        "python-port(PTB); golden corpus self-authored, not jar-verified"
     if jar_available():
         jar = MeteorJar()
         try:

@@ -235,3 +235,62 @@ def test_builtin_synonym_table_fires_and_extends():
         assert "couch" in ext["sofa"]  # built-ins retained
     finally:
         os.unlink(path)
+
+
+def test_wordnet_export_roundtrip_env_var():
+    """Round-trip a crafted 5-group WordNet-style exchange file through
+    the deployment hook ($CVC_METEOR_SYNONYMS) and assert STAGE-LEVEL
+    behavior: every within-group pair aligns at the synonym-module
+    weight (0.8), across-group pairs don't, and normalization (case,
+    comments, one-word lines) matches the documented format
+    (VERDICT r3 #7; reference: coco-caption METEOR data files)."""
+    import os
+    import tempfile
+
+    from cvc_tpu.evaluation.meteor import align
+    from cvc_tpu.evaluation.meteor_synonyms import load_synonyms
+
+    groups = [
+        "zorp blick frum",          # 3-word group
+        "QUINE Gavagai",            # case-normalized
+        "snark boojum",
+        "wug wugs",                 # inflection pair, as WordNet exports
+        "florp gleep",
+    ]
+    body = "# wordnet export fixture\n" + "\n".join(groups) + \
+        "\nsingleton\n"             # <2 words: must be ignored
+    with tempfile.NamedTemporaryFile("w", suffix=".syn",
+                                     delete=False) as f:
+        f.write(body)
+        path = f.name
+    old = os.environ.get("CVC_METEOR_SYNONYMS")
+    try:
+        os.environ["CVC_METEOR_SYNONYMS"] = path
+        load_synonyms.cache_clear()   # env var is read at load time
+        syn = load_synonyms()
+        # group membership: symmetric, non-transitive across groups
+        for g in groups:
+            words = g.lower().split()
+            for w in words:
+                assert syn[w] >= set(words) - {w}, (w, syn[w])
+        assert "snark" not in syn["zorp"]
+        assert "singleton" not in syn
+        # stage level: within-group pair aligns with synonym weight 0.8
+        pairs, weights = align("a zorp here".split(),
+                               "a frum here".split(), synonyms=syn)
+        assert (1, 1) in pairs and weights[(1, 1)] == 0.8
+        pairs2, weights2 = align("the quine".split(),
+                                 "the gavagai".split(), synonyms=syn)
+        assert (1, 1) in pairs2 and weights2[(1, 1)] == 0.8
+        # across groups: no synonym alignment
+        pairs3, _ = align(["zorp"], ["boojum"], synonyms=syn)
+        assert pairs3 == []
+        # built-in curated groups still extend, not replace
+        assert "couch" in syn["sofa"]
+    finally:
+        if old is None:
+            os.environ.pop("CVC_METEOR_SYNONYMS", None)
+        else:
+            os.environ["CVC_METEOR_SYNONYMS"] = old
+        load_synonyms.cache_clear()
+        os.unlink(path)
