@@ -204,6 +204,16 @@ class TrainConfig:
     #                                   short bootstrap lets it self-amplify
     #                                   (experiments/README.md round-2).
     #                                   (decoder pretraining stage)
+    cycle_weight_anneal_to: float = -1.0  # >=0: after
+    #                                   cycle_weight_anneal_after epochs the
+    #                                   reconstruction weight switches from
+    #                                   model.cycle_weight to this value
+    #                                   (lock-in-then-relax: full-weight
+    #                                   reconstruction over-constrains the
+    #                                   shared decoder at wide attention —
+    #                                   video ablation + s57 postmortem).
+    #                                   <0 = no annealing.
+    cycle_weight_anneal_after: int = 0
     # Scheduled sampling (reference lineage: --scheduled_sampling_start etc.)
     scheduled_sampling_start: int = -1        # epoch; -1 = off
     scheduled_sampling_increase_every: int = 5
@@ -354,6 +364,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cycle_gt_until", type=int, default=0,
                    help="GT-word localizer queries until this epoch "
                         "(cycle cold-start bootstrap), then argmax")
+    p.add_argument("--cycle_weight_anneal_to", type=float, default=-1.0,
+                   help=">=0: reconstruction weight switches from "
+                        "--cycle_weight to this value at epoch "
+                        "--cycle_weight_anneal_after (<0 = off)")
+    p.add_argument("--cycle_weight_anneal_after", type=int, default=0)
     p.add_argument("--use_pallas", type=int, default=-1,
                    help="-1 auto (Pallas on TPU), 0 off, 1 on")
     p.add_argument("--pallas_select", type=int, default=-1,
@@ -462,6 +477,8 @@ def _defaults_from_config(cfg: Config) -> dict:
         obj_interact=int(m.obj_interact), enable_cycle=int(t.enable_cycle),
         cycle_weight=m.cycle_weight, cycle_after=t.cycle_after,
         cycle_gt_until=t.cycle_gt_until,
+        cycle_weight_anneal_to=t.cycle_weight_anneal_to,
+        cycle_weight_anneal_after=t.cycle_weight_anneal_after,
         cycle_localize_gt=int(m.cycle_localize_gt),
         use_pallas=-1 if m.use_pallas is None else int(m.use_pallas),
         pallas_select=-1 if m.pallas_select is None
@@ -577,6 +594,8 @@ def config_from_args(argv=None) -> Config:
     t.enable_cycle = bool(args.enable_cycle)
     t.cycle_after = args.cycle_after
     t.cycle_gt_until = args.cycle_gt_until
+    t.cycle_weight_anneal_to = args.cycle_weight_anneal_to
+    t.cycle_weight_anneal_after = args.cycle_weight_anneal_after
     t.checkpoint_path = args.checkpoint_path
     t.start_from = args.start_from
     t.import_torch = args.import_torch

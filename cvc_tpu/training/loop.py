@@ -27,6 +27,27 @@ from cvc_tpu.training.train_state import TrainState
 from cvc_tpu.utils.logging import MetricLogger
 
 
+def cycle_stage(t_cfg, m_cfg, epoch: int) -> tuple:
+    """(cycle_on, gt_queries, cycle_weight) for this epoch.
+
+    --cycle_after stages the cycle in after decoder pretraining;
+    --cycle_gt_until additionally runs its first epochs with GT-word
+    localizer queries (cold-start bootstrap); --cycle_weight_anneal_to /
+    --cycle_weight_anneal_after switch the reconstruction weight after
+    lock-in (full-weight reconstruction XE can over-constrain the shared
+    decoder — video width ablation, s57 postmortem).  Each distinct
+    stage tuple compiles one step-fn variant.
+    """
+    cycle_on = t_cfg.enable_cycle and epoch >= t_cfg.cycle_after
+    gt_q = bool(m_cfg.cycle_localize_gt) or (
+        cycle_on and epoch < t_cfg.cycle_gt_until)
+    cw = m_cfg.cycle_weight
+    if (t_cfg.cycle_weight_anneal_to >= 0
+            and epoch >= t_cfg.cycle_weight_anneal_after):
+        cw = t_cfg.cycle_weight_anneal_to
+    return cycle_on, (cycle_on and gt_q), cw
+
+
 def _finalize_model_config(cfg: Config, ds) -> None:
     """Derive static model dims from the dataset (vocab padded to a
     multiple of 128 so the head matmul tiles the MXU)."""
@@ -89,21 +110,15 @@ def train(cfg: Config, max_epochs: int | None = None,
     step_fns = {}
 
     def _cycle_stage(epoch: int):
-        """(cycle_on, gt_queries) for this epoch: --cycle_after stages the
-        cycle in after decoder pretraining; --cycle_gt_until additionally
-        runs its first epochs with GT-word localizer queries (cold-start
-        bootstrap; see TrainConfig.cycle_gt_until)."""
-        cycle_on = t_cfg.enable_cycle and epoch >= t_cfg.cycle_after
-        gt_q = bool(m_cfg.cycle_localize_gt) or (
-            cycle_on and epoch < t_cfg.cycle_gt_until)
-        return cycle_on, (cycle_on and gt_q)
+        return cycle_stage(t_cfg, m_cfg, epoch)
 
     def get_step_fn(stage):
-        """One compiled variant per (cycle_on, gt_queries) stage."""
+        """One compiled variant per (cycle_on, gt_queries, cw) stage."""
         if stage not in step_fns:
-            cycle_on, gt_q = stage
+            cycle_on, gt_q, cw = stage
             tc = _dc_replace(t_cfg, enable_cycle=cycle_on)
-            mc = _dc_replace(m_cfg, cycle_localize_gt=gt_q)
+            mc = _dc_replace(m_cfg, cycle_localize_gt=gt_q,
+                             cycle_weight=cw)
             step_fns[stage] = make_train_step(
                 mc, tc, optimizer, mesh=mesh, state=state,
                 example_arrays=example)
@@ -132,9 +147,10 @@ def train(cfg: Config, max_epochs: int | None = None,
 
         def get_resident_step(stage):
             if stage not in resident_steps:
-                cycle_on, gt_q = stage
+                cycle_on, gt_q, cw = stage
                 tc = _dc_replace(t_cfg, enable_cycle=cycle_on)
-                mc = _dc_replace(m_cfg, cycle_localize_gt=gt_q)
+                mc = _dc_replace(m_cfg, cycle_localize_gt=gt_q,
+                                 cycle_weight=cw)
                 resident_steps[stage] = make_resident_train_step(
                     mc, tc, optimizer, mesh=mesh, state=state)
             return resident_steps[stage]
@@ -164,7 +180,8 @@ def train(cfg: Config, max_epochs: int | None = None,
         use_scst = (t_cfg.self_critical_after >= 0
                     and epoch >= t_cfg.self_critical_after)
         cycle_on = stage[0]
-        if use_scst and (scst is None or scst["cycle_on"] != cycle_on):
+        if use_scst and (scst is None
+                         or scst["cycle_stage"] != (cycle_on, stage[2])):
             # reference: switch to SCST after --self_critical_after epochs.
             # The XE blend follows the same --cycle_after staging as the
             # XE loop; rebuilt if the stage flips mid-SCST (rare).
@@ -185,7 +202,9 @@ def train(cfg: Config, max_epochs: int | None = None,
                             if resident
                             else make_scst_sampler(m_cfg,
                                                    m_cfg.seq_length)),
-                "step": make_scst_step(m_cfg, t_cfg, optimizer,
+                "step": make_scst_step(_dc_replace(m_cfg,
+                                                   cycle_weight=stage[2]),
+                                       t_cfg, optimizer,
                                        xe_weight=t_cfg.scst_xe_weight,
                                        enable_cycle=cycle_on, mesh=mesh,
                                        state=state, example_arrays=example,
@@ -193,7 +212,7 @@ def train(cfg: Config, max_epochs: int | None = None,
                 "rewarder": rewarder,
                 "run": (scst_train_batch_resident if resident
                         else scst_train_batch),
-                "cycle_on": cycle_on,
+                "cycle_stage": (cycle_on, stage[2]),
             }
         if resident:
             r_step = get_resident_step(stage)

@@ -30,6 +30,22 @@ ARMS = {
     "plaincont": ["--enable_cycle", "0"],
     "argmax": ["--enable_cycle", "1", "--cycle_after", "48",
                "--cycle_gt_until", "0"],
+    # the amplify-vs-pin lever (s57 postmortem): same reference-exact
+    # recipe with the reconstruction weight lowered — the video-world
+    # result says full-weight reconstruction XE can over-constrain the
+    # shared decoder and lock it at its engagement accuracy
+    "argmax_cw025": ["--enable_cycle", "1", "--cycle_after", "48",
+                     "--cycle_gt_until", "0", "--cycle_weight", "0.25"],
+    "argmax_cw05": ["--enable_cycle", "1", "--cycle_after", "48",
+                    "--cycle_gt_until", "0", "--cycle_weight", "0.5"],
+    # lock-in-then-relax: full weight while the cycle engages (16 epochs
+    # past --cycle_after), then annealed to 0.25 — tests whether the pin
+    # is specifically the *steady-state* full-weight constraint or the
+    # engagement-time one
+    "argmax_anneal": ["--enable_cycle", "1", "--cycle_after", "48",
+                      "--cycle_gt_until", "0", "--cycle_weight", "1.0",
+                      "--cycle_weight_anneal_to", "0.25",
+                      "--cycle_weight_anneal_after", "64"],
 }
 
 

@@ -126,6 +126,51 @@ def test_smoke_cycle_gt_bootstrap(tmp_path):
     assert min(by_epoch[2]) > 0.0             # argmax cycle
 
 
+def test_cycle_weight_anneal_stages():
+    """--cycle_weight_anneal_to/_after switch the reconstruction weight
+    per epoch (lock-in-then-relax; s57 postmortem / video width-tax)."""
+    from cvc_tpu.training.loop import cycle_stage
+    m = ModelConfig(cycle_weight=1.0)
+    t = TrainConfig(enable_cycle=True, cycle_after=1, cycle_gt_until=2,
+                    cycle_weight_anneal_to=0.25,
+                    cycle_weight_anneal_after=3)
+    assert cycle_stage(t, m, 0) == (False, False, 1.0)   # pretrain
+    assert cycle_stage(t, m, 1) == (True, True, 1.0)     # GT bootstrap
+    assert cycle_stage(t, m, 2) == (True, False, 1.0)    # argmax, full w
+    assert cycle_stage(t, m, 3) == (True, False, 0.25)   # annealed
+    assert cycle_stage(t, m, 9) == (True, False, 0.25)
+    t2 = TrainConfig(enable_cycle=True)                  # annealing off
+    assert cycle_stage(t2, m, 5) == (True, False, 1.0)
+
+
+def test_smoke_cycle_weight_anneal(tmp_path):
+    """The annealed stage compiles its own step variant and the recon
+    loss component shrinks with the weight at the switch epoch."""
+    import json
+    from cvc_tpu.training.loop import train
+    cfg = _config(tmp_path)
+    cfg.train.cycle_weight_anneal_to = 0.0   # extreme: recon weight -> 0
+    cfg.train.cycle_weight_anneal_after = 1
+    cfg.train.language_eval = False
+    cfg.train.grounding_eval = False
+    cfg.train.losses_log_every = 1
+    infos = train(cfg, max_epochs=2, log_dir=str(tmp_path / "logs"))
+    assert infos["epoch"] == 2
+    rows = [json.loads(line)
+            for line in open(tmp_path / "logs" / "metrics.jsonl")]
+    rows = [r for r in rows if "train/loss" in r]
+    per_epoch = max(r["step"] for r in rows) // 2
+    ep0 = [r for r in rows if r["step"] <= per_epoch]
+    ep1 = [r for r in rows if r["step"] > per_epoch]
+    # epoch 0: total = decode + recon; epoch 1 (weight 0): total = decode
+    for r in ep0:
+        assert r["train/loss"] > r["train/loss_decode"]
+    for r in ep1:
+        np.testing.assert_allclose(r["train/loss"], r["train/loss_decode"],
+                                   rtol=1e-5)
+        assert r["train/loss_recon"] > 0.0   # still reported, just unweighted
+
+
 def test_smoke_device_resident(tmp_path):
     """HBM-resident dataset path through the same training loop."""
     from cvc_tpu.training.loop import train
