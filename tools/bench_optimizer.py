@@ -6,8 +6,9 @@ PERF.md §3 lists "Adam + grad-clip elementwise sweeps (~0.7 ms/step pure
 HBM)" as remaining train-step headroom (VERDICT r3 next-round #6).  Before
 engineering a fused optimizer, measure whether there is anything to win:
 
-  * measured: jitted `opt.update + apply_updates` alone (donated state),
-    exactly the transform the train step runs (training/optimizer.py).
+  * measured: jitted `opt.update + apply_updates` alone (donated state,
+    like the real step), exactly the transform the train step runs
+    (training/optimizer.py).
   * roofline: minimum HBM traffic at f32 — clip needs one full read of
     the grads for the global norm (a reduction that must complete before
     any update), then the update reads (g, p, m, v) and writes (p, m, v):
@@ -15,8 +16,18 @@ engineering a fused optimizer, measure whether there is anything to win:
     bandwidth (819 GB/s).
   * flat variant: the same transform over ONE concatenated 1-D vector —
     bounds the overhead attributable to per-array kernel scheduling /
-    tile padding (59M params spread over ~40 leaves).  If flat ≈ pytree,
+    tile padding (45M params spread over 22 leaves).  If flat ≈ pytree,
     a fused/flattened optimizer state has nothing to recover.
+
+Timing protocol (the v1 harness was measurement-broken): every update
+returns a SCALAR checksum and the sync is `float(chk)` — through the
+axon relay, reading an element of a large output buffer (v1's
+`np.asarray(leaf)[:1]`) can return before device execution finishes
+(v1 "measured" the flat variant at 4781% of the HBM roofline, i.e.
+38 TB/s — physically impossible; that was host enqueue cost).  A
+device->host SCALAR read is the one sync the relay honors (same
+technique as bench.py's `float(m["loss"])`).  An empty-program control
+measures the enqueue floor so it can be subtracted from the reading.
 
 Writes experiments/optimizer_roofline.json and prints it.
 """
@@ -41,24 +52,18 @@ HBM_GBPS = 819e9  # TPU v5e
 
 
 def time_chain(fn, st, p, g, iters=50, reps=3):
-    """Per-iteration time of st,p = fn(st,p,g), CHAINED through the
-    loop so every launch depends on the previous one — device time
-    accumulates and the single final block captures it (independent
-    same-arg launches only measure ~23 us/dispatch enqueue cost
-    through the axon relay)."""
-    st1, p1 = fn(st, p, g)                # compile + warmup
-    jax.block_until_ready((st1, p1))
+    """Per-iteration time of st,p,chk = fn(st,p,g), CHAINED through the
+    loop so every launch depends on the previous one, synced by a
+    device->host read of the final SCALAR output (see module doc)."""
+    st1, p1, chk = fn(st, p, g)            # compile + warmup
+    float(chk)
     best = float("inf")
     for _ in range(reps):
         s, q = st1, p1
         t0 = time.perf_counter()
         for _ in range(iters):
-            s, q = fn(s, q, g)
-        # a 1-element device->host read of the last output: through the
-        # axon relay block_until_ready returns before device completion,
-        # but a readback cannot — and the chain makes the last output
-        # depend on every launch before it
-        np.asarray(jax.tree.leaves(q)[0]).ravel()[:1]
+            s, q, chk = fn(s, q, g)
+        float(chk)
         best = min(best, (time.perf_counter() - t0) / iters)
     return best
 
@@ -78,10 +83,14 @@ def main():
     def run(o):
         st = jax.jit(o.init)(params)
 
+        # donate state+params like the real train step; the scalar
+        # checksum (one leaf's first element) costs nothing and forces
+        # the relay to wait for program completion on readback
         @jax.jit
         def apply(st, p, g):
             updates, st = o.update(g, st, p)
-            return st, jax.tree.map(jnp.add, p, updates)
+            p = jax.tree.map(jnp.add, p, updates)
+            return st, p, jax.tree.leaves(p)[0].ravel()[0]
 
         sec = time_chain(apply, st, params, grads)
         return sec * 1e3
@@ -99,12 +108,22 @@ def main():
         @jax.jit
         def apply(st, p, g):
             updates, st = o.update(g, st, p)
-            return st, p + updates
+            p = p + updates
+            return st, p, p[0]
 
         sec = time_chain(apply, st, flat, gflat)
         return sec * 1e3
 
     ms_flat = run_flat(opt)
+
+    # enqueue floor: a near-empty chained program with a scalar sync —
+    # the per-dispatch cost the relay adds regardless of program size
+    @jax.jit
+    def noop(st, p, g):
+        return st, p + 1.0, (p + 1.0)[0]
+
+    z = jnp.zeros((8,), jnp.float32)
+    ms_floor = time_chain(noop, z, z, z) * 1e3
 
     roof_clip = n_params * 32 / HBM_GBPS * 1e3
     roof_noclip = n_params * 28 / HBM_GBPS * 1e3
@@ -113,7 +132,8 @@ def main():
         "n_leaves": len(leaves),
         "measured_ms": {"clip+adam": round(ms_clip, 4),
                         "adam_only": round(ms_noclip, 4),
-                        "clip+adam_flat_vector": round(ms_flat, 4)},
+                        "clip+adam_flat_vector": round(ms_flat, 4),
+                        "enqueue_floor": round(ms_floor, 4)},
         "roofline_ms": {"clip+adam": round(roof_clip, 4),
                         "adam_only": round(roof_noclip, 4)},
         "hbm_gbps_assumed": HBM_GBPS / 1e9,
