@@ -125,15 +125,50 @@ def load_hdf5_dataset(feature_file: str, annotation_file: str,
     return CaptionDataset(examples, vocab, class_names)
 
 
+def _synthetic_cached(kwargs: dict) -> CaptionDataset:
+    """Build the synthetic dataset, optionally through a disk cache.
+
+    Opt-in via CVC_SYNTH_CACHE=<dir>: generation is deterministic in its
+    kwargs (the generator owns every RNG it uses), so a cache hit returns
+    bit-identical data while skipping the host-side generation cost
+    (~25 min for the 16k-video ANet-shaped worlds on this one-core
+    sandbox).  Off by default — large worlds pickle to ~10 GB files.
+    The write is atomic (tmp + rename) so concurrent runs can share a
+    cache directory.
+    """
+    import os
+
+    from cvc_tpu.data.synthetic import make_synthetic_dataset
+
+    cache_dir = os.environ.get("CVC_SYNTH_CACHE")
+    if not cache_dir:
+        return make_synthetic_dataset(**kwargs)
+    import hashlib
+    import pickle
+
+    key = hashlib.sha1(
+        repr(sorted(kwargs.items())).encode()).hexdigest()[:20]
+    path = os.path.join(cache_dir, f"synth_{key}.pkl")
+    if os.path.exists(path):
+        with open(path, "rb") as f:
+            return pickle.load(f)
+    ds = make_synthetic_dataset(**kwargs)
+    os.makedirs(cache_dir, exist_ok=True)
+    tmp = f"{path}.tmp{os.getpid()}"
+    with open(tmp, "wb") as f:
+        pickle.dump(ds, f, protocol=5)
+    os.replace(tmp, path)
+    return ds
+
+
 def load_dataset(data_cfg, model_cfg, split: str) -> CaptionDataset:
     """Dispatch on DataConfig.dataset (reference: --dataset flag in main.py)."""
     if data_cfg.dataset == "synthetic":
-        from cvc_tpu.data.synthetic import make_synthetic_dataset
         n_img = data_cfg.synthetic_num_images
         if split != "train" and getattr(data_cfg, "synthetic_num_val_images",
                                         0) > 0:
             n_img = data_cfg.synthetic_num_val_images
-        return make_synthetic_dataset(
+        kwargs = dict(
             num_images=n_img,
             vocab_size=data_cfg.synthetic_vocab_size,
             num_classes=getattr(data_cfg, "synthetic_num_classes", 24),
@@ -153,6 +188,7 @@ def load_dataset(data_cfg, model_cfg, split: str) -> CaptionDataset:
             refs_per_image=getattr(data_cfg, "synthetic_refs_per_image", 1),
             ref_subset=getattr(data_cfg, "synthetic_ref_subset", False),
         )
+        return _synthetic_cached(kwargs)
     vocab = Vocabulary.load(data_cfg.vocab_file)
     return load_hdf5_dataset(
         data_cfg.feature_file, data_cfg.annotation_file, vocab, split,

@@ -241,3 +241,48 @@ def test_synthetic_ref_subset():
         sets = [set(w for w in c.split() if w.startswith("obj"))
                 for c in ds0.get(i).captions]
         assert all(s == sets[0] for s in sets)
+
+
+def test_synthetic_disk_cache_bit_identical(tmp_path, monkeypatch):
+    """CVC_SYNTH_CACHE: second load comes from disk (generator not
+    called) and is bit-identical to the generated dataset."""
+    from cvc_tpu.config import Config
+    from cvc_tpu.data import datasets as dsmod
+    import cvc_tpu.data.synthetic as synth
+
+    cfg = Config()
+    cfg.data.dataset = "synthetic"
+    cfg.data.synthetic_num_images = 6
+    cfg.data.synthetic_vocab_size = 64
+    cfg.data.seed = 3
+    cfg.model.num_regions = 12
+    cfg.model.feat_dim = 24
+    cfg.model.seq_length = 12
+
+    monkeypatch.setenv("CVC_SYNTH_CACHE", str(tmp_path))
+    ds1 = dsmod.load_dataset(cfg.data, cfg.model, "train")
+    files = list(tmp_path.glob("synth_*.pkl"))
+    assert len(files) == 1 and not list(tmp_path.glob("*.tmp*"))
+
+    real = synth.make_synthetic_dataset
+
+    def boom(**kw):  # a second generation would be a cache miss
+        raise AssertionError("generator called despite cache hit")
+
+    monkeypatch.setattr(synth, "make_synthetic_dataset", boom)
+    ds2 = dsmod.load_dataset(cfg.data, cfg.model, "train")
+    assert len(ds2) == len(ds1)
+    for i in range(len(ds1)):
+        a, b = ds1.get(i), ds2.get(i)
+        np.testing.assert_array_equal(a.features, b.features)
+        np.testing.assert_array_equal(a.boxes, b.boxes)
+        np.testing.assert_array_equal(a.classes, b.classes)
+        assert a.captions == b.captions
+    assert ds2.vocab.itow == ds1.vocab.itow
+
+    # a different world (val split / different size) is a different key
+    monkeypatch.setattr(synth, "make_synthetic_dataset", real)
+    cfg.data.synthetic_num_val_images = 4
+    ds3 = dsmod.load_dataset(cfg.data, cfg.model, "val")
+    assert len(ds3) == 4
+    assert len(list(tmp_path.glob("synth_*.pkl"))) == 2
