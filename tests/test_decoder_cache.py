@@ -11,11 +11,18 @@ so this test builds many decoders without compiling any.
 
 import dataclasses
 
+import pytest
+
 from cvc_tpu.config import EvalConfig, ModelConfig
 from cvc_tpu.models import decoding
 
 
-def _fresh_cache():
+@pytest.fixture(autouse=True)
+def fresh_cache():
+    """Isolate the module-global memo: cleared before AND after each
+    test so test-built decoder entries never leak into other tests."""
+    decoding._DECODER_CACHE.clear()
+    yield
     decoding._DECODER_CACHE.clear()
 
 
@@ -24,7 +31,6 @@ def _eval_cfg(i):
 
 
 def test_repeat_config_returns_identical_closure():
-    _fresh_cache()
     cfg = ModelConfig(vocab_size=128, rnn_size=16, input_encoding_size=8,
                       att_hid_size=8, feat_dim=8, num_regions=4,
                       seq_length=4, num_classes=4, class_emb_dim=4)
@@ -34,7 +40,6 @@ def test_repeat_config_returns_identical_closure():
 
 
 def test_lru_evicts_coldest_not_hottest():
-    _fresh_cache()
     cfg = ModelConfig(vocab_size=128, rnn_size=16, input_encoding_size=8,
                       att_hid_size=8, feat_dim=8, num_regions=4,
                       seq_length=4, num_classes=4, class_emb_dim=4)
@@ -49,7 +54,7 @@ def test_lru_evicts_coldest_not_hottest():
     # The coldest distinct configs really were evicted: re-requesting the
     # first sweep entry builds a new closure.
     first_sweep = decoding.make_decoder(cfg, _eval_cfg(1))
-    key0 = (repr(dataclasses.asdict(cfg)), repr(dataclasses.asdict(_eval_cfg(1))))
-    assert key0 in decoding._DECODER_CACHE
-    assert first_sweep is decoding._DECODER_CACHE[key0]
-    _fresh_cache()
+    first_sweep_key = (repr(dataclasses.asdict(cfg)),
+                       repr(dataclasses.asdict(_eval_cfg(1))))
+    assert first_sweep_key in decoding._DECODER_CACHE
+    assert first_sweep is decoding._DECODER_CACHE[first_sweep_key]
