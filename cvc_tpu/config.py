@@ -176,6 +176,15 @@ class DataConfig:
     #                                    sequence-level reward can beat XE)
     #                                   (COCO/Flickr30k have 5; >1 gives
     #                                   SCST a dense reward)
+    synthetic_attr_noise: float = 0.0  # prob. an emitted color word is
+    #                                   resampled at random: attribute
+    #                                   tokens predictable from attention
+    #                                   only with prob 1-q (the noisy
+    #                                   ANet-like regime; data/synthetic.py)
+    synthetic_distractor_corr: float = 0.0  # blend γ of a random true-
+    #                                   object class center into every
+    #                                   distractor feature (shrinks the
+    #                                   grounding feature margin)
 
 
 @dataclass
@@ -340,6 +349,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="1: each reference mentions a random subset of "
                         "the objects (coverage slack; the regime where "
                         "SCST can beat XE)")
+    p.add_argument("--synthetic_attr_noise", type=float, default=0.0,
+                   help="prob. an emitted color word is resampled at "
+                        "random (noisy ANet-like regime: attention "
+                        "helpful but insufficient)")
+    p.add_argument("--synthetic_distractor_corr", type=float, default=0.0,
+                   help="blend of a random true-object class center "
+                        "into every distractor feature (0..1)")
     p.add_argument("--feat_dim", type=int, default=2048,
                    help="region feature dim (reference: 2048-d fc6)")
     p.add_argument("--weight_decay", type=float, default=0.0)
@@ -469,6 +485,8 @@ def _defaults_from_config(cfg: Config) -> dict:
         synthetic_class_skew=d.synthetic_class_skew,
         synthetic_refs_per_image=d.synthetic_refs_per_image,
         synthetic_ref_subset=int(d.synthetic_ref_subset),
+        synthetic_attr_noise=d.synthetic_attr_noise,
+        synthetic_distractor_corr=d.synthetic_distractor_corr,
         feat_dim=m.feat_dim, weight_decay=t.weight_decay,
         seq_length=m.seq_length,
         num_props=m.num_regions, num_frames=m.num_frames,
@@ -550,6 +568,8 @@ def config_from_args(argv=None) -> Config:
     d.synthetic_class_skew = args.synthetic_class_skew
     d.synthetic_refs_per_image = args.synthetic_refs_per_image
     d.synthetic_ref_subset = bool(args.synthetic_ref_subset)
+    d.synthetic_attr_noise = args.synthetic_attr_noise
+    d.synthetic_distractor_corr = args.synthetic_distractor_corr
     d.seed = args.seed
 
     m.seq_length = args.seq_length

@@ -187,6 +187,9 @@ def load_dataset(data_cfg, model_cfg, split: str) -> CaptionDataset:
             class_skew=getattr(data_cfg, "synthetic_class_skew", 0.0),
             refs_per_image=getattr(data_cfg, "synthetic_refs_per_image", 1),
             ref_subset=getattr(data_cfg, "synthetic_ref_subset", False),
+            attr_noise=getattr(data_cfg, "synthetic_attr_noise", 0.0),
+            distractor_corr=getattr(data_cfg, "synthetic_distractor_corr",
+                                    0.0),
         )
         return _synthetic_cached(kwargs)
     vocab = Vocabulary.load(data_cfg.vocab_file)

@@ -53,7 +53,9 @@ def make_synthetic_dataset(num_images: int = 256,
                            easy_regions: int = 12,
                            class_skew: float = 0.0,
                            refs_per_image: int = 1,
-                           ref_subset: bool = False) -> CaptionDataset:
+                           ref_subset: bool = False,
+                           attr_noise: float = 0.0,
+                           distractor_corr: float = 0.0) -> CaptionDataset:
     """`word_order="shuffled"` mentions objects in random order, and
     `unique_colors=True` gives each object in an image a distinct color.
     Together they reproduce the paper's precondition on real data: the
@@ -91,7 +93,25 @@ def make_synthetic_dataset(num_images: int = 256,
     reference (longest-ref 5.79 > ref0 5.14 > shortest 4.04), so a
     sequence-level reward has honest headroom that token-level XE's
     length marginal does not expose (experiments/README.md round-3 SCST
-    boundary conditions)."""
+    boundary conditions).
+
+    `attr_noise` / `distractor_corr` build the NOISY world (the ANet
+    regime): every committed parity result before round 5 lived in
+    worlds where alignment fully determines token identity — attend to
+    the right region and the next word is certain.  Real ANet/Flickr
+    captions are noisier: attention helps but does not determine words.
+    `attr_noise = q` resamples each emitted color WORD uniformly with
+    probability q (per mention, per reference), so the attribute token
+    is predictable from the attended region only with probability
+    1-q + q/len(_COLORS) — attention is helpful but insufficient, and
+    caption XE has an irreducible floor at attribute slots.  Entity
+    annotations (class-word positions) are untouched, so the grounding
+    protocol grades exactly as before.  `distractor_corr = γ` blends
+    γ·(a random true-object class center) into every distractor
+    feature, shrinking the feature margin that identifies the GT region
+    (the v1 lesson bounds this: distractor CLASSES still exclude the
+    image's objects, so grounding stays learnable — just noisier, like
+    overlapping Faster R-CNN proposals)."""
     del vocab_size  # vocab is derived from the generated captions
     # Split-dependent seed so train/val/test differ but are reproducible.
     rng = np.random.default_rng(seed + {"train": 0, "val": 1, "test": 2}.get(split, 3))
@@ -138,6 +158,12 @@ def make_synthetic_dataset(num_images: int = 256,
         classes = rng.choice(other, size=(F, nr)).astype(np.int32)
         feats = rng.normal(scale=0.5, size=(F, nr, feat_dim)).astype(np.float32)
         feats += centers[classes]
+        if distractor_corr > 0:
+            # feature-correlated distractors: each one leans γ toward a
+            # random TRUE object's cluster (true slots are overwritten
+            # below, so this only survives on distractors)
+            lean = rng.choice(obj_cls, size=(F, nr))
+            feats += distractor_corr * centers[lean]
         boxes = np.zeros((F, nr, 4), dtype=np.float32)
         for f in range(F):
             boxes[f] = _random_boxes(rng, nr)
@@ -188,7 +214,10 @@ def make_synthetic_dataset(num_images: int = 256,
                 # the reward and invite diversity collapse)
                 words.append("a" if ref_subset
                              else str(rng.choice(_FILLER)))
-                words.append(_COLORS[col_of[int(c)]])
+                col = col_of[int(c)]
+                if attr_noise > 0 and rng.uniform() < attr_noise:
+                    col = int(rng.integers(0, len(_COLORS)))
+                words.append(_COLORS[col])
                 entities.append((ref, len(words), int(c), box_of[int(c)]))
                 words.append(names[int(c)])
             captions.append(" ".join(words[: seq_length]))

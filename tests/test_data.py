@@ -286,3 +286,89 @@ def test_synthetic_disk_cache_bit_identical(tmp_path, monkeypatch):
     ds3 = dsmod.load_dataset(cfg.data, cfg.model, "val")
     assert len(ds3) == 4
     assert len(list(tmp_path.glob("synth_*.pkl"))) == 2
+
+def test_synthetic_noisy_world_attr_noise():
+    """attr_noise resamples color WORDS only.  Self-contained check: the
+    GT region's feature still encodes the TRUE color (argmax dot with
+    the color directions), so the caption's color word should mismatch
+    the feature-decoded color ~q*(C-1)/C of the time — and ~never at
+    q=0.  Entity (class-word) annotations grade as before.  Zero-valued
+    flags consume no RNG, so the generator stays bit-identical."""
+    import numpy as np
+
+    from cvc_tpu.data.synthetic import _COLORS
+
+    kw = dict(num_images=40, num_regions=16, feat_dim=64, seq_length=16,
+              num_classes=12, seed=5, word_order="shuffled",
+              unique_colors=True)
+    clean = make_synthetic_dataset(**kw)
+    clean0 = make_synthetic_dataset(**kw, attr_noise=0.0,
+                                    distractor_corr=0.0)
+    for a, b in zip(clean.examples, clean0.examples):
+        assert a.captions == b.captions
+        assert np.array_equal(a.features, b.features)
+
+    crng = np.random.default_rng(1234)
+    centers = crng.normal(size=(12, 64)).astype(np.float32)
+    centers *= 3.0 / np.linalg.norm(centers, axis=1, keepdims=True)
+    color_dirs = crng.normal(size=(len(_COLORS), 64)).astype(np.float32)
+    color_dirs *= 3.0 / np.linalg.norm(color_dirs, axis=1,
+                                       keepdims=True)
+
+    def flip_rate(ds):
+        flips = total = 0
+        for ex in ds.examples:
+            words = ex.captions[0].split()
+            for e in ex.entities:
+                if e.caption_idx != 0 or e.word_idx - 1 < 0:
+                    continue
+                color_word = words[e.word_idx - 1]
+                assert color_word in _COLORS
+                assert words[e.word_idx] == f"obj{e.class_id}"
+                slot = int(np.argmax(
+                    [1.0 if int(c) == e.class_id else 0.0
+                     for c in ex.classes]))
+                true_col = int(np.argmax(ex.features[slot] @ color_dirs.T))
+                total += 1
+                flips += _COLORS[true_col] != color_word
+        assert total > 80
+        return flips / total
+
+    assert flip_rate(clean) < 0.05
+    noisy = make_synthetic_dataset(**kw, attr_noise=0.5)
+    # q=0.5 with 8 colors -> expected mismatch ~0.5*(7/8) ~ 0.44
+    assert 0.25 < flip_rate(noisy) < 0.6
+
+
+def test_synthetic_noisy_world_distractor_corr():
+    """distractor_corr pulls distractor features toward the image's
+    true-object cluster centers; distractor CLASSES still exclude the
+    image's objects (the v1 unlearnability guard), so grounding stays
+    learnable — just with a thinner feature margin."""
+    import numpy as np
+
+    kw = dict(num_images=24, num_regions=16, feat_dim=64, seq_length=16,
+              num_classes=12, seed=5, word_order="shuffled",
+              unique_colors=True)
+    clean = make_synthetic_dataset(**kw)
+    corr = make_synthetic_dataset(**kw, distractor_corr=0.8)
+    crng = np.random.default_rng(1234)
+    centers = crng.normal(size=(12, 64)).astype(np.float32)
+    centers *= 3.0 / np.linalg.norm(centers, axis=1, keepdims=True)
+
+    def mean_true_dot(ds):
+        dots = []
+        for ex in ds.examples:
+            true_cls = sorted({e.class_id for e in ex.entities})
+            tc = centers[true_cls].mean(axis=0)
+            d_slots = [i for i in range(ex.features.shape[0])
+                       if int(ex.classes[i]) not in true_cls]
+            dots.append(ex.features[d_slots] @ tc)
+        return float(np.concatenate(dots).mean())
+
+    for ex in corr.examples:
+        true_cls = {e.class_id for e in ex.entities}
+        # every true class still appears on exactly one region
+        for c in true_cls:
+            assert int(np.sum(ex.classes == c)) == 1
+    assert mean_true_dot(corr) > mean_true_dot(clean) + 1.0
