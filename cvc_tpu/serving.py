@@ -95,35 +95,61 @@ class Captioner:
         return Captioner(params=params, model_cfg=model_cfg, vocab=vocab,
                          decoder=decoder, batch_size=batch_size)
 
-    def caption(self, requests: list[dict]) -> list[dict]:
+    def caption(self, requests: list[dict],
+                pipeline_depth: int = 1) -> list[dict]:
         """requests: [{'features': [N,D] or [F,N,D], 'boxes': [...,4],
         'classes': [...], 'global_feat'?: [Dg]}].  Any request count —
-        internally padded to the fixed batch size."""
-        mc = self.model_cfg
+        internally padded to the fixed batch size.
+
+        `pipeline_depth > 1` keeps that many batches IN FLIGHT: jax
+        dispatch is asynchronous, so submitting batch i+1 before
+        reading batch i's outputs overlaps the host work (packing,
+        device transfer, numpy conversion, grounding extraction) with
+        device execution — the TPU never idles between batches.  The
+        device->host read of the oldest in-flight result is the
+        backpressure.  Results are identical at any depth (order
+        preserved); measured throughput: tools/bench_serving.py,
+        experiments/serving_pipeline.json."""
+        from collections import deque
+
         out: list[dict] = []
+        inflight: deque = deque()
+        depth = max(1, int(pipeline_depth))
         for s in range(0, len(requests), self.batch_size):
             chunk = requests[s:s + self.batch_size]
             arrays = self._pack(chunk)
-            res = self.decoder(self.params, arrays)
-            tokens = np.asarray(res["tokens"])
-            alphas = np.asarray(res["alphas"])
-            scores = np.asarray(res.get("scores",
-                                        np.zeros(tokens.shape[0])))
-            sents = self.vocab.decode_sequence(tokens)
-            for i in range(len(chunk)):
-                words = sents[i].split()
-                boxes = arrays["box_geom"][i][:, :4]
-                grounding = []
-                for t, w in enumerate(words):
-                    slot = int(np.argmax(alphas[i, t]))
-                    grounding.append({
-                        "word": w,
-                        "box": [float(v) for v in np.asarray(boxes[slot])],
-                        "weight": float(alphas[i, t, slot]),
-                    })
-                out.append({"caption": sents[i],
-                            "score": float(scores[i]),
-                            "grounding": grounding})
+            res = self.decoder(self.params, arrays)   # async dispatch
+            inflight.append((chunk, arrays, res))
+            if len(inflight) >= depth:
+                out.extend(self._postprocess(*inflight.popleft()))
+        while inflight:
+            out.extend(self._postprocess(*inflight.popleft()))
+        return out
+
+    def _postprocess(self, chunk: list[dict], arrays: dict,
+                     res: dict) -> list[dict]:
+        """Convert one in-flight result to the response schema (the
+        device->host sync point)."""
+        out: list[dict] = []
+        tokens = np.asarray(res["tokens"])
+        alphas = np.asarray(res["alphas"])
+        scores = np.asarray(res.get("scores",
+                                    np.zeros(tokens.shape[0])))
+        sents = self.vocab.decode_sequence(tokens)
+        for i in range(len(chunk)):
+            words = sents[i].split()
+            boxes = arrays["box_geom"][i][:, :4]
+            grounding = []
+            for t, w in enumerate(words):
+                slot = int(np.argmax(alphas[i, t]))
+                grounding.append({
+                    "word": w,
+                    "box": [float(v) for v in np.asarray(boxes[slot])],
+                    "weight": float(alphas[i, t, slot]),
+                })
+            out.append({"caption": sents[i],
+                        "score": float(scores[i]),
+                        "grounding": grounding})
         return out
 
     def _pack(self, chunk: list[dict]) -> dict:

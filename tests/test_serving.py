@@ -89,3 +89,25 @@ def test_captioner_from_torch(tmp_path):
     assert len(out) == 5
     for r in out:
         assert isinstance(r["caption"], str)
+
+
+def test_captioner_pipeline_depth_identical_results():
+    """pipeline_depth only changes submission overlap, never outputs:
+    depth 1 (blocking) and depth 3 (two extra batches in flight) must
+    produce identical captions, scores and grounding across a request
+    list spanning several internal batches."""
+    cfg = tiny_model_config(feat_dim=32, num_regions=12, seq_length=10)
+    ds = make_synthetic_dataset(num_images=11, num_regions=12, feat_dim=32,
+                                seq_length=10, split="val", seed=3)
+    cfg.vocab_size = ds.vocab.padded_size(128)
+    params = core.init_params(jax.random.PRNGKey(0), cfg)
+    cap = Captioner.build(params, cfg, ds.vocab, beam_size=2, batch_size=4)
+    reqs = [{"features": ds.get(i).features, "boxes": ds.get(i).boxes,
+             "classes": ds.get(i).classes} for i in range(11)]
+    a = cap.caption(reqs, pipeline_depth=1)
+    b = cap.caption(reqs, pipeline_depth=3)
+    assert len(a) == len(b) == 11
+    for ra, rb in zip(a, b):
+        assert ra["caption"] == rb["caption"]
+        assert ra["score"] == rb["score"]
+        assert ra["grounding"] == rb["grounding"]

@@ -1,0 +1,204 @@
+#!/usr/bin/env python
+"""Sustained serving throughput: blocking vs pipelined submission
+(VERDICT r4 weak #1 / next-round #4).
+
+PERF.md §3 carried the advice "pipeline submissions (per-call blocking
+through the relay understates throughput ~3×)" without a measured
+artifact.  This tool measures the actual ladder, each rung sustained
+over a wall-clock window (default ≥30 s):
+
+  1. tensor_blocking     — fresh host inputs every call, device->host
+                           sync after every batch (a naive client).
+  2. tensor_pipelined_dN — fresh host inputs, N batches in flight
+                           (double-buffered inputs: device_put of batch
+                           i+1 overlaps execution of batch i; the sync
+                           on the oldest result is the backpressure).
+                           This is what Captioner.caption(...,
+                           pipeline_depth=N) does, measured at the
+                           tensor level.
+  3. resident_resubmit   — inputs already on device, stream of
+                           submissions, one final sync (bench.py's
+                           serving number: the device-only upper bound).
+  4. transfer_bandwidth  — raw device_put GB/s of the feature tensor
+                           (the control that says whether 1..2 are
+                           host-transfer-bound on this machine's PJRT
+                           relay rather than device-bound).
+
+Writes experiments/serving_pipeline.json.  Flags: --batch N --secs S
+--fp32 --with-request-path (also time the full Captioner request path
+incl. per-request packing on this 1-core host).
+"""
+
+import json
+import os
+import sys
+import time
+from collections import deque
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import BEAM, SEQ, flagship_config  # noqa: E402
+from cvc_tpu.config import EvalConfig  # noqa: E402
+from cvc_tpu.models import core  # noqa: E402
+from cvc_tpu.models.decoding import make_decoder  # noqa: E402
+
+N_DISTINCT = 4  # distinct host batches cycled (defeats any caching)
+
+
+def host_batch(cfg, batch, seed):
+    rng = np.random.default_rng(seed)
+    S = cfg.total_regions
+    live = (np.arange(S)[None, :] % cfg.num_regions) < 100
+    return dict(
+        feats=rng.normal(size=(batch, S, cfg.feat_dim)).astype(np.float32),
+        box_geom=rng.uniform(size=(batch, S, 5)).astype(np.float32),
+        region_cls=rng.integers(0, cfg.num_classes,
+                                size=(batch, S)).astype(np.int32),
+        region_mask=(live * np.ones((batch, 1))).astype(np.float32),
+    )
+
+
+def put(h):
+    return {k: jnp.asarray(v) for k, v in h.items()}
+
+
+def sync(res):
+    int(res["tokens"][0, 0])
+
+
+def measure(fn, secs):
+    """fn() processes one batch (possibly async); returns completed
+    batch count / elapsed after a final drain by the caller's closure."""
+    n, t0 = 0, time.perf_counter()
+    while time.perf_counter() - t0 < secs:
+        fn(n)
+        n += 1
+    return n, time.perf_counter() - t0
+
+
+def main():
+    batch = 256
+    secs = 30.0
+    for i, a in enumerate(sys.argv):
+        if a == "--batch":
+            batch = int(sys.argv[i + 1])
+        if a == "--secs":
+            secs = float(sys.argv[i + 1])
+    dtype = "float32" if "--fp32" in sys.argv else "bfloat16"
+    cfg = flagship_config(dtype=dtype)
+    params = core.init_params(jax.random.PRNGKey(0), cfg)
+    decoder = make_decoder(cfg, EvalConfig(beam_size=BEAM, max_length=SEQ,
+                                           sample_method="beam"))
+    hosts = [host_batch(cfg, batch, s) for s in range(N_DISTINCT)]
+    feat_bytes = hosts[0]["feats"].nbytes
+
+    # warmup / compile
+    res = decoder(params, put(hosts[0]))
+    sync(res)
+
+    out = {"batch": batch, "dtype": dtype, "window_secs": secs,
+           "beam": BEAM, "feat_mb_per_batch": round(feat_bytes / 2**20, 1),
+           "modes": {}}
+
+    def record(name, n, dt, note=""):
+        cps = batch * n / dt
+        out["modes"][name] = {"batches": n, "secs": round(dt, 2),
+                              "caps_per_sec": round(cps, 1)}
+        if note:
+            out["modes"][name]["note"] = note
+        print(f"{name}: {cps:.0f} caps/s ({n} batches / {dt:.1f}s)",
+              flush=True)
+
+    # 4. raw transfer bandwidth control (fresh buffers; sync each put)
+    n, t0 = 0, time.perf_counter()
+    while time.perf_counter() - t0 < min(10.0, secs):
+        d = jnp.asarray(hosts[n % N_DISTINCT]["feats"])
+        d.block_until_ready()
+        n += 1
+    dt = time.perf_counter() - t0
+    gbs = feat_bytes * n / dt / 2**30
+    out["transfer_bandwidth_GBps"] = round(gbs, 3)
+    print(f"device_put bandwidth: {gbs:.2f} GB/s "
+          f"({feat_bytes / 2**20:.0f} MB x {n} in {dt:.1f}s)", flush=True)
+
+    # 1. blocking: fresh inputs, sync every call
+    def blocking(i):
+        r = decoder(params, put(hosts[i % N_DISTINCT]))
+        sync(r)
+    n, dt = measure(blocking, secs)
+    record("tensor_blocking", n, dt)
+
+    # 2. pipelined, depth 2 and 4
+    for depth in (2, 4):
+        inflight = deque()
+
+        def pipelined(i, q=inflight, d=depth):
+            r = decoder(params, put(hosts[i % N_DISTINCT]))
+            q.append(r)
+            if len(q) >= d:
+                sync(q.popleft())
+        n, t0 = 0, time.perf_counter()
+        while time.perf_counter() - t0 < secs:
+            pipelined(n)
+            n += 1
+        while inflight:
+            sync(inflight.popleft())
+        record(f"tensor_pipelined_d{depth}", n, time.perf_counter() - t0)
+
+    # 3. resident resubmission (bench.py's serving mode).  Depth-bounded
+    # like the pipelined modes: a single final-element sync would only
+    # transitively wait on the LAST program, which on non-FIFO backends
+    # (CPU thread pool) lets an unexecuted backlog escape the timer.
+    dev = put(hosts[0])
+    r = decoder(params, dev)
+    sync(r)
+    inflight = deque()
+    n, t0 = 0, time.perf_counter()
+    while time.perf_counter() - t0 < secs:
+        inflight.append(decoder(params, dev))
+        if len(inflight) >= 4:
+            sync(inflight.popleft())
+        n += 1
+    while inflight:
+        sync(inflight.popleft())
+    record("resident_resubmit", n, time.perf_counter() - t0,
+           note="no input feeding; device-only upper bound (bench.py)")
+
+    # optional: the full request path (per-request packing, 1 host core)
+    if "--with-request-path" in sys.argv:
+        from cvc_tpu.data.vocab import Vocabulary
+        from cvc_tpu.serving import Captioner
+        vocab = Vocabulary.build(
+            [" ".join(f"w{i}" for i in range(200))], min_count=1)
+        cfg.vocab_size = vocab.padded_size(128)
+        p2 = core.init_params(jax.random.PRNGKey(0), cfg)
+        cap = Captioner.build(p2, cfg, vocab, beam_size=BEAM,
+                              batch_size=batch)
+        reqs = [{"features": hosts[0]["feats"][i, :100],
+                 "boxes": hosts[0]["box_geom"][i, :100, :4],
+                 "classes": hosts[0]["region_cls"][i, :100]}
+                for i in range(batch)]
+        cap.caption(reqs[:batch])  # warm
+        for depth in (1, 4):
+            n, t0 = 0, time.perf_counter()
+            while time.perf_counter() - t0 < min(20.0, secs):
+                cap.caption(reqs, pipeline_depth=depth)
+                n += 1
+            record(f"request_path_d{depth}", n, time.perf_counter() - t0,
+                   note="full Captioner path incl. per-request packing "
+                        "+ grounding extraction on this 1-core host")
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "experiments",
+        "serving_pipeline.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote", path, flush=True)
+
+
+if __name__ == "__main__":
+    main()
