@@ -27,7 +27,12 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-EPOCHS = 16
+# v2 ran 16 epochs: grounding locked in (0.853 vs 0.900) but CIDEr was
+# mid-climb in both arms (0.92 vs 1.27).  VERDICT r4 weak #3 asks for
+# the caption column too: CVC_MESHLIFT_EPOCHS=24 reruns both arms with
+# 8 more epochs (the decay schedule below then gives the last epochs a
+# settled LR), writing mesh_lift_v3_results.json.
+EPOCHS = int(os.environ.get("CVC_MESHLIFT_EPOCHS", "16"))
 
 
 def flags(seed):
@@ -86,7 +91,10 @@ def main():
                XLA_FLAGS=(os.environ.get("XLA_FLAGS", "") +
                           " --xla_force_host_platform_device_count=8")
                .strip())
-    path = os.path.join(REPO, "experiments", "mesh_lift_results.json")
+    path = os.path.join(
+        REPO, "experiments",
+        "mesh_lift_results.json" if EPOCHS == 16
+        else f"mesh_lift_v3_results.json")
     out = {
         "what": ("mesh-lift v2: the boot cycle's grounding lift trained "
                  "END-TO-END under the virtual 8-device "
@@ -100,14 +108,15 @@ def main():
                    "lr": 2e-3, "seed": 2026},
     }
 
-    traj8, loss8 = run("meshlift_8dev", ["--mGPUs", "8",
-                                         "--model_axis", "2"], env)
+    sfx = "" if EPOCHS == 16 else f"_e{EPOCHS}"
+    traj8, loss8 = run(f"meshlift_8dev{sfx}", ["--mGPUs", "8",
+                                               "--model_axis", "2"], env)
     out["mesh_8dev"] = {"val_trajectory": traj8,
                         "final_train_loss": loss8[-1] if loss8 else None}
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
 
-    traj1, loss1 = run("meshlift_1dev", ["--mGPUs", "1"], env)
+    traj1, loss1 = run(f"meshlift_1dev{sfx}", ["--mGPUs", "1"], env)
     out["single_device"] = {"val_trajectory": traj1,
                             "final_train_loss": loss1[-1] if loss1 else None}
     if traj1 and traj8:
