@@ -145,6 +145,44 @@ def bench_decode(cfg, params, batch: int = BATCH) -> float:
     return batch / best
 
 
+def bench_serving_sustained(cfg, params, batch: int = 256,
+                            secs: float = 30.0) -> float:
+    """Sustained caps/s with fresh host inputs, depth-4 pipelined
+    submission (device_put of batch i+1 overlaps execution of batch i;
+    the sync on the oldest in-flight result is the backpressure)."""
+    from collections import deque
+    decoder = make_decoder(cfg, EvalConfig(beam_size=BEAM, max_length=SEQ,
+                                           sample_method="beam"))
+    rng = np.random.default_rng(7)
+    S = cfg.total_regions
+    live = ((np.arange(S)[None, :] % cfg.num_regions) < 100)
+    hosts = []
+    for s in range(4):                      # distinct host batches, cycled
+        hosts.append(dict(
+            feats=rng.normal(size=(batch, S, cfg.feat_dim))
+            .astype(np.float32),
+            box_geom=rng.uniform(size=(batch, S, 5)).astype(np.float32),
+            region_cls=rng.integers(0, cfg.num_classes, size=(batch, S))
+            .astype(np.int32),
+            region_mask=(live * np.ones((batch, 1))).astype(np.float32)))
+
+    def put(h):
+        return {k: jnp.asarray(v) for k, v in h.items()}
+
+    r = decoder(params, put(hosts[0]))      # compile + warm
+    int(r["tokens"][0, 0])
+    inflight: deque = deque()
+    n, t0 = 0, time.perf_counter()
+    while time.perf_counter() - t0 < secs:
+        inflight.append(decoder(params, put(hosts[n % 4])))
+        if len(inflight) >= 4:
+            int(inflight.popleft()["tokens"][0, 0])
+        n += 1
+    while inflight:
+        int(inflight.popleft()["tokens"][0, 0])
+    return batch * n / (time.perf_counter() - t0)
+
+
 def bench_train(cfg, params, batch: int | None = None) -> dict:
     from cvc_tpu.training import TrainState, make_optimizer
     from cvc_tpu.training.step import make_train_step
@@ -237,6 +275,14 @@ def main():
         out["serving_caps_per_sec"] = round(caps256, 2)
         out["serving_mfu"] = round(
             caps256 * gflop_caption * 1e9 / PEAK_BF16_FLOPS, 4)
+        # SUSTAINED serving (VERDICT r4 #4): fresh HOST inputs every
+        # call, 4 batches in flight (Captioner pipeline_depth=4 at the
+        # tensor level), >=30 s wall — the number a real client sees
+        # including input transfer, vs the device-only resident number
+        # above.  Ladder + blocking point: tools/bench_serving.py ->
+        # experiments/serving_pipeline.json.
+        out["serving_sustained_caps_per_sec"] = round(
+            bench_serving_sustained(cfg, params, batch=256, secs=30.0), 2)
 
     if "--no-train" not in sys.argv:
         out.update(bench_train(cfg, params))
