@@ -67,7 +67,7 @@ def main():
                                 train=True)
         return loss
 
-    for batch in (64, 256):
+    for batch in ((8,) if smoke else (64, 256)):
         arrays = random_arrays(cfg, batch, seed=1)
 
         full = jax.jit(lambda p, a: jax.grad(loss_fn)(p, a))
@@ -97,7 +97,7 @@ def main():
 
     # B: forward scaling curve
     fwd_curve = []
-    for batch in (64, 256, 512, 1024):
+    for batch in ((8, 16) if smoke else (64, 256, 512, 1024)):
         arrays = random_arrays(cfg, batch, seed=1)
         fwd = jax.jit(lambda p, a: loss_fn(p, a))
         t = timed(lambda a: fwd(params, a), arrays)
