@@ -100,8 +100,10 @@ def main():
     res = decoder(params, put(hosts[0]))
     sync(res)
 
+    dev0 = jax.devices()[0]
     out = {"batch": batch, "dtype": dtype, "window_secs": secs,
            "beam": BEAM, "feat_mb_per_batch": round(feat_bytes / 2**20, 1),
+           "platform": dev0.platform, "device_kind": dev0.device_kind,
            "modes": {}}
 
     def record(name, n, dt, note=""):

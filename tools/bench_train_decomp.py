@@ -125,7 +125,9 @@ def main():
                      "sequential-dispatch floor of an L-step scan"}
     print(floor, flush=True)
 
+    dev0 = jax.devices()[0]
     out = {"config": "flagship bf16", "reps": REPS,
+           "platform": dev0.platform, "device_kind": dev0.device_kind,
            "grad_decomp": rows, "forward_curve": fwd_curve,
            "scan_latency_floor": floor}
     path = os.path.join(os.path.dirname(os.path.dirname(
